@@ -1,0 +1,110 @@
+"""Lane-parallel modular arithmetic on uint32 vectors — the TPU substrate.
+
+Replaces the reference's scalar device arithmetic (conditional-subtract
+add/sub NTT.cu:33-47,454-470; Barrett reduction NTT.cu:341-361,379-452) with
+vector formulations that run on 8x128 VPU lanes.  TPUs have no 64-bit lanes
+and no 32x32->64 widening multiply, so 60-bit products of 30-bit residues are
+assembled from 16-bit limbs, and the per-twiddle reduction uses Shoup's
+precomputed-quotient trick (one mulhi + two mullo per constant-operand mulmod)
+instead of the reference's MIU-based Barrett (main.cuh:20-21).
+
+Everything is written in plain jnp on uint32 so the exact same functions trace
+inside Pallas kernels, under jit on CPU/TPU, and under vmap/shard_map.
+All functions keep residues canonical in [0, q).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "mulhi32",
+    "widemul32",
+    "add_mod",
+    "sub_mod",
+    "shoup_mulmod",
+    "shoup_mulmod_lazy",
+    "reduce_u32",
+    "mulmod_barrett",
+    "u32",
+]
+
+_U16 = jnp.uint32(0xFFFF)
+
+
+def u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+def mulhi32(x, y):
+    """High 32 bits of the 64-bit product of two uint32 vectors.
+
+    16-bit limb decomposition: x*y = hh*2^32 + (hl+lh)*2^16 + ll.  All
+    intermediates provably fit in uint32 (limbs < 2^16 so each partial
+    product < 2^32; the mid-sum is <= 3*(2^16-1))."""
+    x0 = x & _U16
+    x1 = x >> 16
+    y0 = y & _U16
+    y1 = y >> 16
+    ll = x0 * y0
+    lh = x0 * y1
+    hl = x1 * y0
+    hh = x1 * y1
+    mid = (ll >> 16) + (lh & _U16) + (hl & _U16)
+    return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+
+
+def widemul32(x, y):
+    """(hi, lo) 64-bit product of uint32 vectors as two uint32 vectors."""
+    lo = x * y  # wraps mod 2^32 by XLA unsigned semantics
+    return mulhi32(x, y), lo
+
+
+def add_mod(a, b, q: int):
+    """(a + b) mod q for canonical inputs; conditional subtract
+    (vector twin of reference _addModP, NTT.cu:454-459)."""
+    s = a + b
+    qv = jnp.uint32(q)
+    return jnp.where(s >= qv, s - qv, s)
+
+
+def sub_mod(a, b, q: int):
+    """(a - b) mod q for canonical inputs; conditional add-back
+    (vector twin of reference _subModP, NTT.cu:461-470)."""
+    d = a - b  # wraps when b > a
+    return jnp.where(a >= b, d, d + jnp.uint32(q))
+
+
+def shoup_mulmod_lazy(x, w, w_shoup, q: int):
+    """x*w mod q in [0, 2q), w a precomputed constant < q, x any uint32.
+
+    Shoup's trick: with w' = floor(w*2^32/q), r = w*x - floor(w'*x/2^32)*q
+    (mod 2^32) lies in [0, 2q).  One mulhi32 + two low multiplies."""
+    hi = mulhi32(x, w_shoup)
+    return x * w - hi * jnp.uint32(q)
+
+
+def shoup_mulmod(x, w, w_shoup, q: int):
+    """Canonical [0, q) Shoup mulmod."""
+    r = shoup_mulmod_lazy(x, w, w_shoup, q)
+    qv = jnp.uint32(q)
+    return jnp.where(r >= qv, r - qv, r)
+
+
+def reduce_u32(x, q: int, one_shoup: int):
+    """Any uint32 -> x mod q via Shoup with w = 1 (one_shoup = floor(2^32/q))."""
+    return shoup_mulmod(x, jnp.uint32(1), jnp.uint32(one_shoup), q)
+
+
+def mulmod_barrett(x, y, q: int, r32: int, r32_shoup: int, one_shoup: int):
+    """Generic (variable x variable) mulmod for canonical x, y < q < 2^30.
+
+    Assemble the 64-bit product as (hi, lo), then fold:
+        x*y mod q = (hi * (2^32 mod q) + lo) mod q
+    with both folds done by Shoup mulmods.  Used for the pointwise
+    (Hadamard) multiply (reference pointwise_mult, NTT.cu:1155-1160) where
+    neither operand is a precomputed constant."""
+    hi, lo = widemul32(x, y)
+    a = shoup_mulmod(hi, jnp.uint32(r32), jnp.uint32(r32_shoup), q)
+    b = reduce_u32(lo, q, one_shoup)
+    return add_mod(a, b, q)

@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
+imports, so multi-chip sharding logic (parallel/) is exercised without a pod
+(SURVEY.md §4: multi-device tests via xla_force_host_platform_device_count)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xA1CE)

@@ -1,0 +1,89 @@
+"""Parameter registry / precompute tests (reference parity: main.cuh:7-30,
+main.cu:18-65 root registry, constants.h tables)."""
+
+import numpy as np
+import pytest
+
+from qtesla_tpu.params import available_param_sets, get_params
+
+ALL_SETS = ["qtesla-i", "qtesla-iii-speed", "qtesla-p-i", "qtesla-p-iii",
+            "smallprime"]
+
+
+def test_registry_lists_all_sets():
+    assert set(ALL_SETS) <= set(available_param_sets())
+
+
+@pytest.mark.parametrize("name", ALL_SETS)
+def test_root_properties(name):
+    ps = get_params(name)
+    n, q = ps.n, ps.q
+    assert (q - 1) % (2 * n) == 0
+    # psi is a primitive 2n-th root: psi^n = -1, psi^2n = 1
+    assert pow(ps.psi, n, q) == q - 1
+    assert pow(ps.psi, 2 * n, q) == 1
+    # omega = psi^2 is a primitive n-th root
+    assert pow(ps.omega, n, q) == 1
+    assert pow(ps.omega, n // 2, q) == q - 1
+    assert (ps.psi * ps.psi_inv) % q == 1
+    assert (ps.n * ps.n_inv) % q == 1
+
+
+def test_reference_qtesla_iii_constants_are_consistent():
+    """The reference's hardcoded roots for qTESLA-III-speed (main.cu:25-27:
+    fg0=2893, Ni=8396785, nfg0=6321631) satisfy the same defining equations
+    our derived roots do — validating our derivation rules."""
+    ps = get_params("qtesla-iii-speed")
+    q, n = ps.q, ps.n
+    assert q == 8404993 and n == 1024
+    assert pow(2893, n, q) == 1 and pow(2893, n // 2, q) == q - 1
+    assert (n * 8396785) % q == 1
+    assert pow(6321631, n, q) == q - 1          # reference psi
+    assert (6321631 * 2497826) % q == 1          # reference psi_inv
+    assert pow(6321631, 2, q) == 2893            # psi^2 == omega
+
+
+def test_smallprime_matches_reference_fixture():
+    """main.cu:55: SMALLPRIME N=32 uses fg0=2, Ni=63489."""
+    ps = get_params("smallprime")
+    assert ps.q == 65537 and ps.n == 32
+    assert pow(2, 32, 65537) == 1 and pow(2, 16, 65537) == 65536
+    assert (32 * 63489) % 65537 == 1
+
+
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-i"])
+def test_tables_exact(name):
+    ps = get_params(name)
+    n, q = ps.n, ps.q
+    bits = ps.logn
+    # psi_rev[i] == psi^bitrev(i)
+    for i in [0, 1, 2, 3, n // 2, n - 1]:
+        br = int(f"{i:0{bits}b}"[::-1], 2)
+        assert int(ps.psi_rev[i]) == pow(ps.psi, br, q)
+        assert int(ps.ipsi_rev[i]) == pow(ps.psi_inv, br, q)
+        # Shoup companions
+        assert int(ps.psi_rev_shoup[i]) == (int(ps.psi_rev[i]) << 32) // q
+    # omega powers
+    tf = ps.omega_powers(n)
+    ti = ps.omega_powers(n, inverse=True)
+    assert int(tf[1]) == ps.omega
+    assert all((int(tf[i]) * int(ti[i])) % q == 1 for i in range(1, 8))
+    # bitrev table is an involution/permutation
+    br = ps.bitrev_tbl
+    assert sorted(br.tolist()) == list(range(n))
+    assert all(int(br[int(br[i])]) == i for i in range(n))
+
+
+def test_scalar_constants():
+    ps = get_params("qtesla-p-iii")
+    assert ps.r32 == (1 << 32) % ps.q
+    assert ps.one_shoup == (1 << 32) // ps.q
+    assert 2 * ps.q < 1 << 31  # lazy [0,2q) fits signed/unsigned compare range
+
+
+def test_rejects_bad_params():
+    from qtesla_tpu.params import ParamSet
+    with pytest.raises(ValueError):
+        ParamSet(name="bad", n=48, q=65537)       # not a power of two
+    with pytest.raises(ValueError):
+        ParamSet(name="bad", n=4, q=7)            # q !≡ 1 mod 2n
