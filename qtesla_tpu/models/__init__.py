@@ -1,0 +1,7 @@
+from .polymul import (  # noqa: F401
+    ALGORITHMS,
+    intt,
+    ntt,
+    polymul_negacyclic,
+    polymul_fn,
+)

@@ -5,6 +5,12 @@ imports, so multi-chip sharding logic (parallel/) is exercised without a pod
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: the first nontrivial compile in a fresh
+# process otherwise pays a large one-time cost in this environment.
+_here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_here, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
