@@ -151,6 +151,23 @@ def intt_inverse_psi_merged(a, ps: ParamSet) -> np.ndarray:
 _M = (1 << 32) - 1
 
 
+def negacyclic_schoolbook_ring(x, y) -> np.ndarray:
+    """Negacyclic product over Z_{2^32-1} (the Nussbaumer path's ring),
+    canonical representatives in [0, 2^32-1)."""
+    n = len(np.asarray(x).reshape(-1))
+    xv, yv = _as_int_list(x), _as_int_list(y)
+    out = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            p = xv[i] * yv[j]
+            if k < n:
+                out[k] = (out[k] + p) % _M
+            else:
+                out[k - n] = (out[k - n] - p) % _M
+    return np.array(out, dtype=np.uint64)
+
+
 def ring_u32_modadd(a: int, b: int) -> int:
     t = (a + b) % _M
     return t

@@ -1,0 +1,86 @@
+"""Nussbaumer path tests: Z_{2^32-1} ring arithmetic, the tensorized
+convolution vs the big-int ring oracle, and the NTT-vs-Nussbaumer
+cross-check (the reference's independent-algorithm validation, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qtesla_tpu.ops import ringz32 as R
+from qtesla_tpu.ops.nussbaumer import (nussbaumer_negacyclic_ring,
+                                       polymul_nussbaumer_fn)
+from qtesla_tpu.models import polymul_negacyclic
+from qtesla_tpu.oracle import (negacyclic_schoolbook,
+                               negacyclic_schoolbook_ring)
+from qtesla_tpu.params import get_params
+
+M = (1 << 32) - 1
+
+
+def test_ring_ops_vs_bigint(rng):
+    a = rng.integers(0, 1 << 32, 2048, dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 1 << 32, 2048, dtype=np.uint64).astype(np.uint32)
+    a[:2] = [0xFFFFFFFF, 0]
+    b[:2] = [0xFFFFFFFF, 0xFFFFFFFF]
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    ao, bo = a.astype(object), b.astype(object)
+
+    def norm(v):
+        return np.asarray(jax.jit(R.ring_normalize)(v)).astype(object) % M
+
+    np.testing.assert_array_equal(norm(jax.jit(R.ring_add)(ja, jb)),
+                                  (ao + bo) % M)
+    np.testing.assert_array_equal(norm(jax.jit(R.ring_sub)(ja, jb)),
+                                  (ao - bo) % M)
+    np.testing.assert_array_equal(norm(jax.jit(R.ring_mul)(ja, jb)),
+                                  (ao * bo) % M)
+    np.testing.assert_array_equal(norm(jax.jit(R.ring_neg)(ja)), (-ao) % M)
+    inv2 = pow(2, -1, M)
+    np.testing.assert_array_equal(norm(jax.jit(R.ring_div2)(ja)),
+                                  (ao * inv2) % M)
+
+
+@pytest.mark.parametrize("n", [32, 64, 512])
+def test_nussbaumer_ring_vs_oracle(rng, n):
+    x = rng.integers(0, 100000, (2, n)).astype(np.uint32)
+    y = rng.integers(0, 100000, (2, n)).astype(np.uint32)
+    z = np.asarray(jax.jit(nussbaumer_negacyclic_ring)(
+        jnp.asarray(x), jnp.asarray(y)))
+    for b in range(2):
+        want = negacyclic_schoolbook_ring(x[b], y[b])
+        np.testing.assert_array_equal(z[b].astype(np.uint64), want)
+
+
+@pytest.mark.parametrize("name", ["qtesla-iii-speed", "qtesla-p-iii"])
+def test_nussbaumer_vs_ntt_crosscheck(rng, name):
+    """Independent-algorithm cross-check, small operands (the Nussbaumer
+    exactness domain — same restriction as the reference's Z_{2^32-1} path)."""
+    ps = get_params(name)
+    x = rng.integers(0, 512, (2, ps.n)).astype(np.uint32)
+    y = rng.integers(0, 512, (2, ps.n)).astype(np.uint32)
+    za = np.asarray(polymul_nussbaumer_fn(name)(x, y))
+    zb = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(za, zb)
+
+
+def test_nussbaumer_via_models_api(rng):
+    ps = get_params("smallprime")
+    x = rng.integers(0, 40, (3, ps.n)).astype(np.uint32)
+    y = rng.integers(0, 40, (3, ps.n)).astype(np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="nussbaumer"))
+    want = negacyclic_schoolbook(x[0], y[0], ps)
+    np.testing.assert_array_equal(z[0].astype(np.uint64), want)
+
+
+def test_nussbaumer_negative_wrap():
+    """Signed recovery: products whose true coefficients are negative."""
+    ps = get_params("qtesla-iii-speed")
+    n = ps.n
+    x = np.zeros((1, n), np.uint32)
+    y = np.zeros((1, n), np.uint32)
+    x[0, 0], x[0, 1] = 1, 2
+    y[0, n - 1] = 7          # x*y has -14 X^0 and -7? wrap terms
+    z = np.asarray(polymul_nussbaumer_fn(ps.name)(x, y))
+    want = negacyclic_schoolbook(x[0], y[0], ps)
+    np.testing.assert_array_equal(z[0].astype(np.uint64), want)
