@@ -1,0 +1,179 @@
+"""Command-line interface.
+
+Runtime successor of the reference's CLI dispatcher (main.cu:3-8 help text,
+main.cu:66-226: `-cpu N | -speedcpu N | -speedgpu N [-r seed]`), redesigned
+as subcommands over a runtime parameter registry instead of compile-time
+#defines:
+
+    python -m qtesla_tpu.cli info
+    python -m qtesla_tpu.cli correctness [--param-set S] [--algo A] [-r SEED]
+    python -m qtesla_tpu.cli speed [--param-set S] [--algo A] [--batch B]
+                                   [--iters N] [-r SEED] [--json]
+    python -m qtesla_tpu.cli sweep [--param-set S] [--batches 1024,4096,...]
+
+The reference's CPU-vs-GPU split (-speedcpu vs -speedgpu) becomes the JAX
+platform: run under JAX_PLATFORMS=cpu for the host path, default for TPU.
+Unlike the reference, `-r SEED` is actually used (main.cu:89-92 parses it and
+never uses it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _parameter_banner(name: str) -> str:
+    from .params import get_params
+    ps = get_params(name)
+    return (f"{ps.name}: n={ps.n} q={ps.q} (logq={ps.q.bit_length()}) "
+            f"g={ps.g} psi={ps.psi} omega={ps.omega} n_inv={ps.n_inv}")
+
+
+def cmd_info(args) -> int:
+    import jax
+    from .params import available_param_sets
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    for name in available_param_sets():
+        print(_parameter_banner(name))
+    return 0
+
+
+def _algos(arg: str) -> list[str]:
+    from .models import ALGORITHMS
+    every = sorted(ALGORITHMS) + ["nussbaumer"]
+    if arg == "all":
+        return every
+    algos = arg.split(",")
+    for a in algos:
+        if a not in every + ["fused"]:
+            raise SystemExit(f"unknown algo {a!r}; choose from "
+                             f"{every + ['fused']} or 'all'")
+    return algos
+
+
+def cmd_correctness(args) -> int:
+    """Round-trip + oracle checks (reference -cpu group and the GPU
+    round-trip tests, NTT.cu:1495-1817)."""
+    from .models import polymul_negacyclic
+    from .oracle import all_ones_square_closed_form
+    from .params import get_params
+    from .utils import native
+
+    ps = get_params(args.param_set)
+    print(_parameter_banner(ps.name))
+    rng = np.random.default_rng(args.seed)
+    if args.random:
+        x = rng.integers(0, ps.q, (args.batch, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (args.batch, ps.n), dtype=np.uint32)
+    else:
+        # the reference's deterministic ramp fixture (NTT.cu:10-11)
+        x = np.zeros((args.batch, ps.n), dtype=np.uint32)
+        x[:, :ps.n // 2] = (ps.n // 2 - np.arange(ps.n // 2)) % ps.q
+        y = x.copy()
+
+    # ground truth: native C++ oracle if available, else big-int numpy
+    if native.native_available():
+        want = native.negacyclic_schoolbook(x, y, ps.q)
+        oracle_name = "C++ schoolbook"
+    else:
+        from .oracle import negacyclic_schoolbook
+        want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                         for b in range(args.batch)]).astype(np.uint32)
+        oracle_name = "python schoolbook"
+
+    failures = 0
+    for algo in _algos(args.algo):
+        if algo == "nussbaumer" and args.random:
+            print(f"  {algo:10s} SKIP (exact only for small operands; "
+                  "run without --random)")
+            continue
+        z = np.asarray(polymul_negacyclic(x, y, ps, algo=algo))
+        ok = (z == want).all()
+        failures += (not ok)
+        print(f"  {algo:10s} vs {oracle_name}: "
+              f"{'Identical.' if ok else 'INCORRECT RESULT'}")
+    ones = np.ones((1, ps.n), dtype=np.uint32)
+    z1 = np.asarray(polymul_negacyclic(ones, ones, ps))
+    ok = (z1[0].astype(np.uint64) == all_ones_square_closed_form(ps)).all()
+    failures += (not ok)
+    print(f"  all-ones closed form: {'Identical.' if ok else 'INCORRECT'}")
+    return 1 if failures else 0
+
+
+def cmd_speed(args) -> int:
+    """Steady-state throughput (reference -speedcpu/-speedgpu groups)."""
+    import jax
+    from .utils.timing import benchmark_polymul
+    print(f"backend: {jax.default_backend()}")
+    print(_parameter_banner(args.param_set))
+    out = []
+    for algo in _algos(args.algo):
+        r = benchmark_polymul(args.param_set, algo, batch=args.batch,
+                              iters=args.iters, seed=args.seed,
+                              trace_dir=args.trace_dir)
+        out.append({"algo": algo, "batch": args.batch,
+                    "ms_per_iter": r.mean_ms,
+                    "polymuls_per_s": r.throughput})
+        print("  " + r.line())
+    if args.json:
+        print(json.dumps(out))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Batch-size scaling sweep (analog of reference -speedgpu 8's repeated
+    headline benchmark, main.cu:213-225, generalized)."""
+    from .utils.timing import benchmark_polymul
+    print(_parameter_banner(args.param_set))
+    batches = [int(b) for b in args.batches.split(",")]
+    for algo in _algos(args.algo):
+        for b in batches:
+            r = benchmark_polymul(args.param_set, algo, batch=b,
+                                  iters=args.iters, seed=args.seed)
+            print("  " + r.line())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="qtesla_tpu",
+        description="TPU-native qTESLA negacyclic polynomial multiplication")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info", help="parameter banner for all registered sets")
+
+    def common(sp, batch_default):
+        sp.add_argument("--param-set", default="qtesla-iii-speed")
+        sp.add_argument("--algo", default="merged",
+                        help="algorithm name, comma list, or 'all'")
+        sp.add_argument("--batch", type=int, default=batch_default)
+        sp.add_argument("-r", "--seed", type=int, default=0)
+
+    c = sub.add_parser("correctness", help="oracle + known-answer checks")
+    common(c, 4)
+    c.add_argument("--random", action="store_true",
+                   help="random operands instead of the ramp fixture")
+
+    s = sub.add_parser("speed", help="steady-state throughput benchmark")
+    common(s, 4096)
+    s.add_argument("--iters", type=int, default=20)
+    s.add_argument("--json", action="store_true")
+    s.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace here")
+
+    w = sub.add_parser("sweep", help="batch-size scaling sweep")
+    common(w, 0)
+    w.add_argument("--batches", default="1024,4096,16384,65536")
+    w.add_argument("--iters", type=int, default=10)
+
+    args = p.parse_args(argv)
+    return {"info": cmd_info, "correctness": cmd_correctness,
+            "speed": cmd_speed, "sweep": cmd_sweep}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Benchmark/timing harness.
+
+TPU-native successor of the reference's QueryPerformanceCounter brackets and
+polymuls/s printout (NTT.cu:2034-2083, main.cuh:8 NUM_AVE): device-synchronous
+wall timing via block_until_ready, explicit warmup (so, unlike the reference,
+compile time and host<->device staging are excluded from steady-state
+numbers), mean/min/std over N iterations, and an optional jax.profiler trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import statistics
+import time
+from typing import Callable
+
+import jax
+
+__all__ = ["BenchResult", "measure", "benchmark_polymul"]
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    iters: int
+    mean_s: float
+    min_s: float
+    std_s: float
+    items_per_iter: int = 1
+
+    @property
+    def mean_ms(self) -> float:
+        return self.mean_s * 1e3
+
+    @property
+    def throughput(self) -> float:
+        """items/s based on mean iteration time."""
+        return self.items_per_iter / self.mean_s
+
+    def line(self) -> str:
+        return (f"{self.name}: {self.mean_ms:.3f} ms/iter "
+                f"(min {self.min_s * 1e3:.3f}, std {self.std_s * 1e3:.3f}) "
+                f"-> {self.throughput:,.0f} items/s")
+
+
+def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
+            items_per_iter: int = 1, name: str = "bench",
+            trace_dir: str | None = None, chain: bool = False,
+            repeats: int = 3) -> BenchResult:
+    """Time fn(*args).
+
+    chain=False: device sync per iteration (includes host dispatch latency —
+    the closest analog of the reference's per-loop timing, NTT.cu:2034-2081).
+
+    chain=True: fn's output is fed back as its LAST argument, iters calls are
+    enqueued back-to-back and synced once — measures pure device throughput.
+    Essential here: the TPU tunnel adds tens of ms of per-sync round-trip
+    latency that would otherwise dominate.  `repeats` chained runs give
+    mean/min/std of the per-iteration time.
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    ctx = (jax.profiler.trace(trace_dir) if trace_dir else None)
+    if ctx:
+        ctx.__enter__()
+    try:
+        if chain:
+            for _ in range(repeats):
+                head, tail = args[:-1], args[-1]
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    tail = fn(*head, tail)
+                jax.block_until_ready(tail)
+                times.append((time.perf_counter() - t0) / iters)
+        else:
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
+    finally:
+        if ctx:
+            ctx.__exit__(None, None, None)
+    return BenchResult(
+        name=name, iters=iters, mean_s=statistics.fmean(times),
+        min_s=min(times),
+        std_s=statistics.stdev(times) if len(times) > 1 else 0.0,
+        items_per_iter=items_per_iter)
+
+
+def benchmark_polymul(param_set: str, algo: str = "merged",
+                      batch: int = 4096, iters: int = 20,
+                      warmup: int = 3, seed: int = 0,
+                      trace_dir: str | None = None,
+                      chain: bool = True) -> BenchResult:
+    """Steady-state batched negacyclic polymul throughput on the default
+    backend (the reference's polymuls/s metric, NTT.cu:2083).  Chained by
+    default: z_{i+1} = polymul(x, z_i) keeps the device busy back-to-back and
+    excludes host/tunnel dispatch latency."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..models import polymul_fn
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32))
+    fn = polymul_fn(param_set, algo)
+    return measure(fn, x, y, warmup=warmup, iters=iters,
+                   items_per_iter=batch, chain=chain,
+                   name=f"polymul[{param_set},{algo},B={batch}]",
+                   trace_dir=trace_dir)

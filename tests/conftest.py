@@ -4,7 +4,11 @@ imports, so multi-chip sharding logic (parallel/) is exercised without a pod
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign (not setdefault): the environment's sitecustomize exports
+# JAX_PLATFORMS=axon, which would silently put tests on the real TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# sitecustomize may already have imported jax, making env vars too late —
+# jax.config.update still works post-import.
 # Persistent compilation cache: the first nontrivial compile in a fresh
 # process otherwise pays a large one-time cost in this environment.
 _here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -16,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
