@@ -24,8 +24,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REFERENCE_ESTIMATE = 1.0e6   # polymuls/s, see module docstring
 
 PARAM_SET = "qtesla-iii-speed"
-BATCHES = (4096, 8192, 16384)
-ITERS = 20
+BATCHES = (8192, 16384)
+ITERS = 50
 
 
 def pick_algo() -> str:
@@ -44,28 +44,31 @@ def main() -> int:
 
     algo = pick_algo()
     best = None
-    for candidate in dict.fromkeys([algo, "merged"]):
-        for batch in BATCHES:
-            try:
-                r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
-                                      iters=ITERS)
-            except Exception as e:
-                print(f"# {candidate} B={batch} failed: {e}", file=sys.stderr)
-                continue
-            print(f"# {r.line()}", file=sys.stderr)
-            if best is None or r.throughput > best[2].throughput:
-                best = (candidate, batch, r)
+    configs = [(algo, b) for b in BATCHES]
+    if algo != "merged":
+        configs.append(("merged", BATCHES[0]))   # fallback / comparison point
+    for candidate, batch in configs:
+        try:
+            r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
+                                  iters=ITERS)
+        except Exception as e:
+            print(f"# {candidate} B={batch} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# {r.line()}", file=sys.stderr)
+        if best is None or r.throughput_best > best[2].throughput_best:
+            best = (candidate, batch, r)
     if best is None:
         print(json.dumps({"metric": "polymul_throughput", "value": 0,
                           "unit": "polymuls/s/chip", "vs_baseline": 0}))
         return 1
     algo, batch, r = best
+    value = r.throughput_best          # min-time based; see timing.py
     print(json.dumps({
         "metric": f"negacyclic polymuls/s/chip (n=1024, q=8404993, "
                   f"batch={batch}, algo={algo})",
-        "value": round(r.throughput, 1),
+        "value": round(value, 1),
         "unit": "polymuls/s/chip",
-        "vs_baseline": round(r.throughput / REFERENCE_ESTIMATE, 3),
+        "vs_baseline": round(value / REFERENCE_ESTIMATE, 3),
     }))
     return 0
 

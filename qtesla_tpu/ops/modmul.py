@@ -16,6 +16,7 @@ All functions keep residues canonical in [0, q).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "mulhi32",
@@ -29,7 +30,9 @@ __all__ = [
     "u32",
 ]
 
-_U16 = jnp.uint32(0xFFFF)
+# numpy scalar (not a jnp array): inlines as a literal inside Pallas kernels
+# instead of a captured device constant
+_U16 = np.uint32(0xFFFF)
 
 
 def u32(x) -> jnp.ndarray:

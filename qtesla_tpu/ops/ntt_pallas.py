@@ -1,0 +1,183 @@
+"""Fused Pallas TPU kernels: the entire negacyclic polymul (two forward
+NTTs, pointwise multiply, inverse NTT) in ONE kernel pass per batch tile.
+
+The reference pays 20+ kernel launches + PCIe copies per polymul
+(NTT.cu:2034-2081: one launch per butterfly stage, global memory between
+stages); here a (TILE_B, n) tile is loaded into VMEM once, all 3*log2(n)
+butterfly stages + weighting + pointwise run on-chip, and z is written once —
+HBM traffic is exactly read x,y / write z (SURVEY.md §7 "hard parts" #5).
+
+Butterfly data movement without gathers (hard part #2): a radix-2 stage at
+distance t pairs lane j with lane j XOR t.  Both partners are materialized
+with two lane-rolls of the (TILE_B, n) tile and selected with an iota mask,
+so every stage is full-width VPU work with no reshapes that would cross the
+8x128 tiling.  Twiddles come from precomputed full-width (L, n) tables
+(tables.py ct_fwd_full / gs_inv_full) with psi and n^{-1} merged in — the
+fused-weighting trick the reference only applies in its best variants
+(NTT.cu:1099-1101, 1429-1432) is structural here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmul import add_mod, mulmod_barrett, shoup_mulmod, sub_mod
+from .tables import NttTables, get_tables
+
+__all__ = ["polymul_fused_fn", "ntt_fused_fn", "intt_fused_fn"]
+
+
+def _roll(v, shift: int):
+    """Static circular shift along the lane (last) axis, jnp.roll
+    convention: out[j] = v[j - shift]  (pltpu.roll requires shift >= 0)."""
+    return pltpu.roll(v, shift=shift % v.shape[1], axis=1)
+
+
+def _partners(v, bit, t: int):
+    """(U, V) at every lane: U = value at the bit-clear slot of the pair,
+    V = value at the bit-set slot; partner of lane j is j XOR t."""
+    vv = jnp.where(bit, v, _roll(v, -t))
+    uu = jnp.where(bit, _roll(v, t), v)
+    return uu, vv
+
+
+def _fwd_stages(v, col, ftw_ref, ftw_sh_ref, n: int, L: int, q: int):
+    """Merged-psi CT forward: stage s has pair distance t = n >> (s+1);
+    out = U +/- V*S with S constant per block (ct_fwd_full tables)."""
+    for s in range(L):
+        t = n >> (s + 1)
+        bit = (col & t) != 0
+        uu, vv = _partners(v, bit, t)
+        T = shoup_mulmod(vv, ftw_ref[s], ftw_sh_ref[s], q)
+        v = jnp.where(bit, sub_mod(uu, T, q), add_mod(uu, T, q))
+    return v
+
+
+def _inv_stages(v, col, itw_ref, itw_sh_ref, n: int, L: int, q: int):
+    """Merged-psi GS inverse: stage s has pair distance t = 1 << s;
+    out = U+V at bit-clear, (U-V)*S at bit-set; the last stage multiplies
+    BOTH branches (gs_inv_full's last row carries n^{-1} / psi^{-1}*n^{-1})."""
+    for s in range(L):
+        t = 1 << s
+        bit = (col & t) != 0
+        uu, vv = _partners(v, bit, t)
+        su = add_mod(uu, vv, q)
+        d = sub_mod(uu, vv, q)
+        if s < L - 1:
+            v = jnp.where(bit, shoup_mulmod(d, itw_ref[s], itw_sh_ref[s], q),
+                          su)
+        else:
+            v = shoup_mulmod(jnp.where(bit, d, su), itw_ref[s],
+                             itw_sh_ref[s], q)
+    return v
+
+
+def _iota_cols(shape):
+    return jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+
+
+def _polymul_kernel(x_ref, y_ref, ftw, ftw_sh, itw, itw_sh, z_ref, *,
+                    n, L, q, r32, r32_sh, one_sh):
+    col = _iota_cols(x_ref.shape)
+    X = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
+    Y = _fwd_stages(y_ref[:], col, ftw, ftw_sh, n, L, q)
+    Z = mulmod_barrett(X, Y, q, r32, r32_sh, one_sh)
+    z_ref[:] = _inv_stages(Z, col, itw, itw_sh, n, L, q)
+
+
+def _ntt_kernel(x_ref, ftw, ftw_sh, out_ref, *, n, L, q):
+    col = _iota_cols(x_ref.shape)
+    out_ref[:] = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
+
+
+def _intt_kernel(x_ref, itw, itw_sh, out_ref, *, n, L, q):
+    col = _iota_cols(x_ref.shape)
+    out_ref[:] = _inv_stages(x_ref[:], col, itw, itw_sh, n, L, q)
+
+
+def _tile_b(n: int, requested: int | None) -> int:
+    if requested:
+        return requested
+    # keep x/y/z tiles + ~6 live temporaries well inside 16 MB VMEM
+    return max(8, min(256, (2 * 1024 * 1024) // (4 * n)))
+
+
+def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
+          interpret: bool):
+    """Build a runner for `num_tensor_in` (B, n) tensor inputs plus the given
+    (L, n) table inputs, tiled over the batch with padding."""
+    n, L = tbl.n, tbl.logn
+    tables = tuple(jnp.asarray(t) for t in tables)
+
+    def run(*tensors):
+        B = tensors[0].shape[0]
+        pad = (-B) % tile_b
+        if pad:
+            tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
+        Bp = B + pad
+        tens_specs = [pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+                      for _ in range(num_tensor_in)]
+        tab_specs = [pl.BlockSpec((L, n), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in range(len(tables))]
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tile_b,),
+            in_specs=tens_specs + tab_specs,
+            out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
+            interpret=interpret,
+        )(*tensors, *tables)
+        return out[:B] if pad else out
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_fused_fn(name: str, tile_b: int | None = None,
+                     interpret: bool = False):
+    """Jitted fused negacyclic polymul: (B, n) x (B, n) -> (B, n)."""
+    tbl = get_tables(name)
+    ps = tbl.ps
+    kernel = functools.partial(
+        _polymul_kernel, n=tbl.n, L=tbl.logn, q=tbl.q,
+        r32=ps.r32, r32_sh=ps.r32_shoup, one_sh=ps.one_shoup)
+    run = _call(kernel, tbl, 2,
+                (tbl.ct_fwd_full, tbl.ct_fwd_full_shoup,
+                 tbl.gs_inv_full, tbl.gs_inv_full_shoup),
+                _tile_b(tbl.n, tile_b), interpret)
+
+    def fn(x, y):
+        return run(jnp.asarray(x, jnp.uint32), jnp.asarray(y, jnp.uint32))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def ntt_fused_fn(name: str, tile_b: int | None = None,
+                 interpret: bool = False):
+    """Jitted fused merged-psi forward NTT (nat -> rev), one kernel pass."""
+    tbl = get_tables(name)
+    kernel = functools.partial(_ntt_kernel, n=tbl.n, L=tbl.logn, q=tbl.q)
+    run = _call(kernel, tbl, 1, (tbl.ct_fwd_full, tbl.ct_fwd_full_shoup),
+                _tile_b(tbl.n, tile_b), interpret)
+    return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))
+
+
+@functools.lru_cache(maxsize=None)
+def intt_fused_fn(name: str, tile_b: int | None = None,
+                  interpret: bool = False):
+    """Jitted fused merged-psi inverse NTT (rev -> nat), one kernel pass."""
+    tbl = get_tables(name)
+    kernel = functools.partial(_intt_kernel, n=tbl.n, L=tbl.logn, q=tbl.q)
+    run = _call(kernel, tbl, 1, (tbl.gs_inv_full, tbl.gs_inv_full_shoup),
+                _tile_b(tbl.n, tile_b), interpret)
+    return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))

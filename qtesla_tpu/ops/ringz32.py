@@ -11,6 +11,7 @@ a 64-bit product folds by adding its high word to its low word.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .modmul import widemul32
 
@@ -18,7 +19,7 @@ __all__ = ["ring_add", "ring_sub", "ring_mul", "ring_neg", "ring_div2",
            "ring_normalize", "RING_MOD"]
 
 RING_MOD = (1 << 32) - 1
-_ALL1 = jnp.uint32(0xFFFFFFFF)
+_ALL1 = np.uint32(0xFFFFFFFF)   # numpy scalar: Pallas-kernel friendly
 
 
 def ring_add(a, b):

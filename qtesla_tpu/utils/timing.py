@@ -37,6 +37,12 @@ class BenchResult:
         """items/s based on mean iteration time."""
         return self.items_per_iter / self.mean_s
 
+    @property
+    def throughput_best(self) -> float:
+        """items/s based on the best (min) iteration time — robust against
+        host/tunnel hiccups that inflate the mean but not device time."""
+        return self.items_per_iter / self.min_s
+
     def line(self) -> str:
         return (f"{self.name}: {self.mean_ms:.3f} ms/iter "
                 f"(min {self.min_s * 1e3:.3f}, std {self.std_s * 1e3:.3f}) "
@@ -67,12 +73,18 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
         ctx.__enter__()
     try:
         if chain:
+            import numpy as _np
             for _ in range(repeats):
                 head, tail = args[:-1], args[-1]
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     tail = fn(*head, tail)
                 jax.block_until_ready(tail)
+                # block_until_ready is not reliable through the TPU tunnel;
+                # a tiny device->host readback forces true completion (adds
+                # one ~RTT, amortized over iters)
+                leaf = jax.tree_util.tree_leaves(tail)[0]
+                _ = _np.asarray(leaf.reshape(-1)[:1])   # 4-byte readback
                 times.append((time.perf_counter() - t0) / iters)
         else:
             for _ in range(iters):
