@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REFERENCE_ESTIMATE = 1.0e6   # polymuls/s, see module docstring
 
 PARAM_SET = "qtesla-iii-speed"
-BATCHES = (8192, 16384)
+BATCHES = (16384, 32768)
 ITERS = 50
 
 

@@ -138,6 +138,19 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_microbench(args) -> int:
+    """Modular-reduction primitive throughput (reference red_assembly /
+    -speedgpu 7, NTT.cu:282-377, main.cu:211-212)."""
+    from .utils.timing import benchmark_reduction
+    print(_parameter_banner(args.param_set))
+    for op in ["addmod", "mulhi", "shoup", "barrett"]:
+        r = benchmark_reduction(args.param_set, op, size=args.size,
+                                iters=args.iters, seed=args.seed)
+        print(f"  {op:8s}: {r.min_s * 1e6:8.1f} us/iter best -> "
+              f"{r.throughput_best / 1e9:6.2f} Gelem/s")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="qtesla_tpu",
@@ -170,9 +183,17 @@ def main(argv=None) -> int:
     w.add_argument("--batches", default="1024,4096,16384,65536")
     w.add_argument("--iters", type=int, default=10)
 
+    m = sub.add_parser("microbench",
+                       help="modular-reduction primitive throughput")
+    m.add_argument("--param-set", default="qtesla-iii-speed")
+    m.add_argument("--size", type=int, default=1 << 22)
+    m.add_argument("--iters", type=int, default=50)
+    m.add_argument("-r", "--seed", type=int, default=0)
+
     args = p.parse_args(argv)
     return {"info": cmd_info, "correctness": cmd_correctness,
-            "speed": cmd_speed, "sweep": cmd_sweep}[args.cmd](args)
+            "speed": cmd_speed, "sweep": cmd_sweep,
+            "microbench": cmd_microbench}[args.cmd](args)
 
 
 if __name__ == "__main__":

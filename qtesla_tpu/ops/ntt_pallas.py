@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmul import add_mod, mulmod_barrett, shoup_mulmod, sub_mod
+from .modmul import mulmod_barrett, shoup_mulmod_lazy
 from .tables import NttTables, get_tables
 
 __all__ = ["polymul_fused_fn", "ntt_fused_fn", "intt_fused_fn"]
@@ -47,34 +47,48 @@ def _partners(v, bit, t: int):
     return uu, vv
 
 
+def _csub(v, bound: int):
+    b = np.uint32(bound)
+    return jnp.where(v >= b, v - b, v)
+
+
 def _fwd_stages(v, col, ftw_ref, ftw_sh_ref, n: int, L: int, q: int):
-    """Merged-psi CT forward: stage s has pair distance t = n >> (s+1);
-    out = U +/- V*S with S constant per block (ct_fwd_full tables)."""
+    """Merged-psi CT forward, Harvey-lazy with signed twiddles.
+
+    Tables are ct_fwd_full_signed: bit-set lanes hold q - S, making the
+    butterfly a single unconditional  out = csub_{2q}(U) + shoup_lazy(V, S')
+    (U - V*S == U + V*(q - S) mod q).  Invariant: values in [0, 4q);
+    shoup_lazy is exact for ANY uint32 input, so V needs no pre-reduction.
+    Output is LAZY in [0, 4q)."""
     for s in range(L):
         t = n >> (s + 1)
         bit = (col & t) != 0
         uu, vv = _partners(v, bit, t)
-        T = shoup_mulmod(vv, ftw_ref[s], ftw_sh_ref[s], q)
-        v = jnp.where(bit, sub_mod(uu, T, q), add_mod(uu, T, q))
+        hi = shoup_mulmod_lazy(vv, ftw_ref[s], ftw_sh_ref[s], q)  # [0, 2q)
+        v = _csub(uu, 2 * q) + hi                                  # [0, 4q)
     return v
 
 
 def _inv_stages(v, col, itw_ref, itw_sh_ref, n: int, L: int, q: int):
-    """Merged-psi GS inverse: stage s has pair distance t = 1 << s;
-    out = U+V at bit-clear, (U-V)*S at bit-set; the last stage multiplies
-    BOTH branches (gs_inv_full's last row carries n^{-1} / psi^{-1}*n^{-1})."""
+    """Merged-psi GS inverse, Harvey-lazy: stage s has pair distance
+    t = 1 << s; out0 = csub_{2q}(U+V), out1 = shoup_lazy(U-V+2q, S); the
+    last stage multiplies BOTH branches (gs_inv_full's last row carries
+    n^{-1} / psi_rev^{-1}[1]*n^{-1}) and canonicalizes.
+
+    Accepts inputs in [0, 2q); returns CANONICAL [0, q)."""
     for s in range(L):
         t = 1 << s
         bit = (col & t) != 0
         uu, vv = _partners(v, bit, t)
-        su = add_mod(uu, vv, q)
-        d = sub_mod(uu, vv, q)
+        d = uu - vv + np.uint32(2 * q)          # (0, 4q), wrap-corrected
         if s < L - 1:
-            v = jnp.where(bit, shoup_mulmod(d, itw_ref[s], itw_sh_ref[s], q),
-                          su)
+            su = _csub(uu + vv, 2 * q)          # [0, 2q)
+            hi = shoup_mulmod_lazy(d, itw_ref[s], itw_sh_ref[s], q)
+            v = jnp.where(bit, hi, su)          # [0, 2q)
         else:
-            v = shoup_mulmod(jnp.where(bit, d, su), itw_ref[s],
-                             itw_sh_ref[s], q)
+            v = shoup_mulmod_lazy(jnp.where(bit, d, uu + vv),
+                                  itw_ref[s], itw_sh_ref[s], q)
+            v = _csub(v, q)                     # canonical
     return v
 
 
@@ -85,6 +99,9 @@ def _iota_cols(shape):
 def _polymul_kernel(x_ref, y_ref, ftw, ftw_sh, itw, itw_sh, z_ref, *,
                     n, L, q, r32, r32_sh, one_sh):
     col = _iota_cols(x_ref.shape)
+    # forward outputs are lazy [0, 4q); mulmod_barrett's 64-bit assembly is
+    # exact for any uint32 operands, so the pointwise needs no pre-reduce and
+    # yields canonical values for the inverse
     X = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
     Y = _fwd_stages(y_ref[:], col, ftw, ftw_sh, n, L, q)
     Z = mulmod_barrett(X, Y, q, r32, r32_sh, one_sh)
@@ -93,7 +110,8 @@ def _polymul_kernel(x_ref, y_ref, ftw, ftw_sh, itw, itw_sh, z_ref, *,
 
 def _ntt_kernel(x_ref, ftw, ftw_sh, out_ref, *, n, L, q):
     col = _iota_cols(x_ref.shape)
-    out_ref[:] = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
+    v = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
+    out_ref[:] = _csub(_csub(v, 2 * q), q)      # lazy [0,4q) -> canonical
 
 
 def _intt_kernel(x_ref, itw, itw_sh, out_ref, *, n, L, q):
@@ -104,8 +122,9 @@ def _intt_kernel(x_ref, itw, itw_sh, out_ref, *, n, L, q):
 def _tile_b(n: int, requested: int | None) -> int:
     if requested:
         return requested
-    # keep x/y/z tiles + ~6 live temporaries well inside 16 MB VMEM
-    return max(8, min(256, (2 * 1024 * 1024) // (4 * n)))
+    # ~14 live (tile_b, n) u32 buffers fit in 16 MB VMEM; tile_b=128 measured
+    # fastest for n=1024 (tile sweep 64/128/256, 2026-08)
+    return max(8, min(128, (1024 * 1024) // (4 * n)))
 
 
 def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
@@ -151,7 +170,7 @@ def polymul_fused_fn(name: str, tile_b: int | None = None,
         _polymul_kernel, n=tbl.n, L=tbl.logn, q=tbl.q,
         r32=ps.r32, r32_sh=ps.r32_shoup, one_sh=ps.one_shoup)
     run = _call(kernel, tbl, 2,
-                (tbl.ct_fwd_full, tbl.ct_fwd_full_shoup,
+                (tbl.ct_fwd_full_signed, tbl.ct_fwd_full_signed_shoup,
                  tbl.gs_inv_full, tbl.gs_inv_full_shoup),
                 _tile_b(tbl.n, tile_b), interpret)
 
@@ -167,7 +186,8 @@ def ntt_fused_fn(name: str, tile_b: int | None = None,
     """Jitted fused merged-psi forward NTT (nat -> rev), one kernel pass."""
     tbl = get_tables(name)
     kernel = functools.partial(_ntt_kernel, n=tbl.n, L=tbl.logn, q=tbl.q)
-    run = _call(kernel, tbl, 1, (tbl.ct_fwd_full, tbl.ct_fwd_full_shoup),
+    run = _call(kernel, tbl, 1,
+                (tbl.ct_fwd_full_signed, tbl.ct_fwd_full_signed_shoup),
                 _tile_b(tbl.n, tile_b), interpret)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))
 

@@ -122,6 +122,21 @@ class NttTables:
         self.ct_fwd_full = fwd_full
         self.ct_fwd_full_shoup = _shoup_arr(fwd_full, q)
 
+        # signed variant for the lazy fused kernel: bit-set lanes carry q - S
+        # so the CT butterfly becomes a single unconditional U + V*S' mod-ish
+        # add (U - V*S == U + V*(q-S) mod q)
+        fwd_signed = np.empty((L, n), dtype=np.uint32)
+        for s in range(L):
+            m = 1 << s
+            t = n >> (s + 1)
+            row = np.repeat(psi_rev[m:2 * m], 2 * t)          # object ints
+            j = np.arange(n)
+            bit_set = (j & t) != 0
+            row = np.where(bit_set, (q - row) % q, row)
+            fwd_signed[s] = row.astype(np.uint32)
+        self.ct_fwd_full_signed = fwd_signed
+        self.ct_fwd_full_signed_shoup = _shoup_arr(fwd_signed, q)
+
         inv_full = np.empty((L, n), dtype=np.uint32)
         for s in range(L):
             h = n >> (s + 1)

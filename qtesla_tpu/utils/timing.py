@@ -16,7 +16,8 @@ from typing import Callable
 
 import jax
 
-__all__ = ["BenchResult", "measure", "benchmark_polymul"]
+__all__ = ["BenchResult", "measure", "benchmark_polymul",
+           "benchmark_reduction"]
 
 
 @dataclasses.dataclass
@@ -74,17 +75,32 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
     try:
         if chain:
             import numpy as _np
+            from jax import lax
+
+            # the iteration loop lives INSIDE one jit (lax.scan): a single
+            # dispatch covers all iters, amortizing the ~0.85 ms per-call
+            # tunnel overhead that would otherwise dominate; the final
+            # 4-byte readback forces true completion (block_until_ready is
+            # not reliable through the tunnel)
+            @jax.jit
+            def _loop(*a):
+                head, tail = a[:-1], a[-1]
+
+                def body(c, _):
+                    return fn(*head, c), None
+
+                out, _ = lax.scan(body, tail, None, length=iters)
+                return out
+
+            def _run():
+                out = _loop(*args)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                _ = _np.asarray(leaf.reshape(-1)[:1])
+
+            _run()  # compile
             for _ in range(repeats):
-                head, tail = args[:-1], args[-1]
                 t0 = time.perf_counter()
-                for _ in range(iters):
-                    tail = fn(*head, tail)
-                jax.block_until_ready(tail)
-                # block_until_ready is not reliable through the TPU tunnel;
-                # a tiny device->host readback forces true completion (adds
-                # one ~RTT, amortized over iters)
-                leaf = jax.tree_util.tree_leaves(tail)[0]
-                _ = _np.asarray(leaf.reshape(-1)[:1])   # 4-byte readback
+                _run()
                 times.append((time.perf_counter() - t0) / iters)
         else:
             for _ in range(iters):
@@ -125,3 +141,40 @@ def benchmark_polymul(param_set: str, algo: str = "merged",
                    items_per_iter=batch, chain=chain,
                    name=f"polymul[{param_set},{algo},B={batch}]",
                    trace_dir=trace_dir)
+
+
+def benchmark_reduction(param_set: str, op: str = "shoup",
+                        size: int = 1 << 22, iters: int = 50,
+                        seed: int = 0) -> BenchResult:
+    """Modular-reduction microbenchmark (the reference's red_assembly /
+    test_reduction experiment, NTT.cu:282-377, reborn as element-throughput
+    of each reduction primitive on the VPU)."""
+    import functools
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from ..ops import modmul as mm
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    q = ps.q
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, q, size, dtype=np.uint32))
+    w = jnp.asarray(rng.integers(0, q, size, dtype=np.uint32))
+    wsh = jnp.asarray(((np.asarray(w).astype(object) << 32) // q)
+                      .astype(np.uint32))
+    if op == "shoup":
+        fn = jax.jit(lambda a, b: mm.shoup_mulmod(b, w, wsh, q))
+    elif op == "barrett":
+        fn = jax.jit(functools.partial(
+            mm.mulmod_barrett, q=q, r32=ps.r32, r32_shoup=ps.r32_shoup,
+            one_shoup=ps.one_shoup))
+    elif op == "addmod":
+        fn = jax.jit(lambda a, b: mm.add_mod(a, b, q))
+    elif op == "mulhi":
+        fn = jax.jit(mm.mulhi32)
+    else:
+        raise ValueError(f"unknown reduction op {op!r}")
+    return measure(fn, x, x, warmup=2, iters=iters, chain=True,
+                   items_per_iter=size,
+                   name=f"reduction[{param_set},{op},{size}]")
