@@ -29,14 +29,16 @@ ITERS = 50
 
 
 def pick_algo() -> str:
-    """Prefer the fused Pallas kernel when present; fall back to the XLA
-    merged pipeline."""
-    try:
-        from qtesla_tpu.models import polymul_fn
-        polymul_fn(PARAM_SET, "fused")
-        return "fused"
-    except Exception:
-        return "merged"
+    """Prefer the MXU int8-matmul kernel, then the roll-based fused Pallas
+    kernel, then the XLA merged pipeline."""
+    from qtesla_tpu.models import polymul_fn
+    for algo in ("mxu", "fused"):
+        try:
+            polymul_fn(PARAM_SET, algo)
+            return algo
+        except Exception:
+            continue
+    return "merged"
 
 
 def main() -> int:
@@ -45,6 +47,8 @@ def main() -> int:
     algo = pick_algo()
     best = None
     configs = [(algo, b) for b in BATCHES]
+    if algo == "mxu":
+        configs.append(("fused", BATCHES[0]))    # comparison point
     if algo != "merged":
         configs.append(("merged", BATCHES[0]))   # fallback / comparison point
     for candidate, batch in configs:

@@ -166,12 +166,16 @@ def polymul_fn(name: str, algo: str = "merged"):
         if algo == "fused":
             from ..ops.ntt_pallas import polymul_fused_fn
             return polymul_fused_fn(name)
+        if algo == "mxu":
+            from ..ops.ntt_mxu import polymul_mxu_fn
+            return polymul_mxu_fn(name)
         if algo == "nussbaumer":
             from ..ops.nussbaumer import polymul_nussbaumer_fn
             return polymul_nussbaumer_fn(name)
         raise ValueError(
             f"unknown algorithm {algo!r}; available: "
-            f"{sorted(ALGORITHMS) + ['fused', 'nussbaumer']}") from None
+            f"{sorted(ALGORITHMS) + ['fused', 'mxu', 'nussbaumer']}"
+        ) from None
     return jax.jit(functools.partial(pipeline, tbl=tbl))
 
 

@@ -1,0 +1,76 @@
+"""MXU-matmul kernel tests (interpret mode on CPU — same kernel code the
+TPU compiles).  The int8 systolic-array path must be bit-identical to the
+merged-psi reference pipeline for every parameter set: the limb
+decomposition, balanced digits, packed recombination and block stage
+matrices are all exact-integer constructions (ntt_mxu.py)."""
+
+import numpy as np
+import pytest
+
+from qtesla_tpu.models import polymul_negacyclic
+from qtesla_tpu.ops import ntt as N
+from qtesla_tpu.ops.ntt_mxu import (get_mxu_tables, intt_mxu_fn, ntt_mxu_fn,
+                                    polymul_mxu_fn)
+from qtesla_tpu.ops.tables import get_tables
+from qtesla_tpu.params import get_params
+
+SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed", "qtesla-p-i",
+        "qtesla-p-iii"]
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_polymul_bit_exact(rng, name):
+    ps = get_params(name)
+    x = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    z = np.asarray(polymul_mxu_fn(name, interpret=True)(x, y))
+    want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed"])
+def test_mxu_transforms_match_merged(rng, name):
+    import jax
+    import jax.numpy as jnp
+    ps = get_params(name)
+    tbl = get_tables(name)
+    x = rng.integers(0, ps.q, (4, ps.n), dtype=np.uint32)
+    X = np.asarray(ntt_mxu_fn(name, interpret=True)(x))
+    want = np.asarray(jax.jit(
+        lambda v: N.ntt_fwd_merged(v, tbl))(jnp.asarray(x)))
+    np.testing.assert_array_equal(X, want)
+    back = np.asarray(intt_mxu_fn(name, interpret=True)(X))
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_table_invariants(name):
+    """Digit tables reconstruct the exact stage matrices and the packing
+    plan respects its int32 bound."""
+    mt = get_mxu_tables(name)
+    q, bw, D = mt.q, mt.bw, mt.D
+    # every class group the kernel Horner-packs must fit in int32
+    for groups, bounds in ((mt.groups_f, mt.bounds_f),
+                           (mt.groups_i, mt.bounds_i)):
+        for j0, ln in groups:
+            assert sum((256 ** m) * bounds[j0 + m]
+                       for m in range(ln)) < 1 << 31
+    # digits of W recombine to 2^{8i} * K mod q (spot-check block 0, i=0)
+    W = mt.wf[0].astype(np.int64)          # (D, bw, D*bw)
+    rec = np.zeros((bw, bw), dtype=np.int64)
+    for jd in range(D):
+        rec += (1 << (8 * jd)) * W[0, :, jd * bw:(jd + 1) * bw]
+    from qtesla_tpu.ops.ntt_mxu import _fwd_matrix
+    M = _fwd_matrix(mt.tbl, mt.Lr)
+    K = M[:bw, :bw].T % q
+    np.testing.assert_array_equal(rec % q, K % q)
+
+
+def test_mxu_batch_padding(rng):
+    ps = get_params("smallprime")
+    for B in [1, 3, 7]:
+        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        z = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(x, y))
+        want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+        np.testing.assert_array_equal(z, want)
