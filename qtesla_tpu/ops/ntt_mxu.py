@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .modmul import mulmod_barrett, shoup_mulmod_lazy
-from .ntt_pallas import _csub, _iota_cols, _partners
+from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
 __all__ = ["polymul_mxu_fn", "ntt_mxu_fn", "intt_mxu_fn", "get_mxu_tables"]
@@ -209,11 +209,6 @@ class MxuTables:
         (self.wi, self.consti, self.bounds_i,
          self.groups_i) = _block_digit_tables(
             _inv_matrix(tbl, L - self.Lr), q, bw, self.D)
-        # roll-stage twiddle tables (signed fwd rows / inverse tail rows)
-        self.rtw_f = tbl.ct_fwd_full_signed[:self.Lr]
-        self.rtw_f_shoup = tbl.ct_fwd_full_signed_shoup[:self.Lr]
-        self.rtw_i = tbl.gs_inv_full[L - self.Lr:]
-        self.rtw_i_shoup = tbl.gs_inv_full_shoup[L - self.Lr:]
 
 
 @functools.lru_cache(maxsize=None)
@@ -226,21 +221,25 @@ def get_mxu_tables(name: str) -> MxuTables:
 # ----------------------------------------------------------------------
 
 def _digit_planes(v_canon, off: int, D: int):
-    """Canonical uint32 [0, q) -> D balanced-digit int8 planes of x - q//2."""
-    a = v_canon.astype(jnp.int32) - np.int32(off)
+    """Canonical uint32 [0, q) -> D balanced-digit int8 planes of x - q//2.
+
+    Biased-byte extraction: adding 0x..8080 pre-propagates every borrow at
+    once, so digit i is just byte i minus 128 — no sequential carry chain."""
+    bias = sum(128 << (8 * i) for i in range(D - 1))
+    a = v_canon.astype(jnp.int32) + np.int32(bias - off)
     planes = []
-    for _ in range(D - 1):
-        d = ((a + np.int32(128)) & np.int32(255)) - np.int32(128)
-        planes.append(d.astype(jnp.int8))
-        a = (a - d) >> np.int32(8)
-    planes.append(a.astype(jnp.int8))
+    for i in range(D - 1):
+        planes.append((((a >> np.int32(8 * i)) & np.int32(255))
+                       - np.int32(128)).astype(jnp.int8))
+    planes.append((a >> np.int32(8 * (D - 1))).astype(jnp.int8))
     return planes
 
 
-def _block_matmul(planes, w_ref, const_ref, mt: MxuTables, groups, bounds):
-    """Apply the block-diagonal stage matrix: int8 MXU matmuls + packed
-    Shoup recombination.  Input: D digit planes (TB, n) int8 of centered
-    values; output (TB, n) uint32, lazy, congruent mod q.
+def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
+                      groups, bounds):
+    """One block's stage matrix: int8 MXU matmuls + packed Shoup
+    recombination.  Input: D digit planes (TB, bw) int8 of this block's
+    centered values; output (TB, bw) uint32, lazy, congruent mod q.
 
     Digit classes are Horner-packed per the precomputed `groups` plan:
     g = c_{j0} + 256 c_{j0+1} + ... (provably int32-exact), viewed as
@@ -249,106 +248,145 @@ def _block_matmul(planes, w_ref, const_ref, mt: MxuTables, groups, bounds):
     Shoup multiply by 2^{8 j0} mod q.  Worst-case magnitudes are tracked as
     python ints; conditional subtracts are inserted only where the uint32
     sum could otherwise overflow."""
-    bw, nb, D, q = mt.bw, mt.nb, mt.D, mt.q
-    outs = []
-    for b in range(nb):
-        acc = None
-        for i in range(D):
-            p = lax.dot_general(planes[i][:, b * bw:(b + 1) * bw],
-                                w_ref[b, i],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-            acc = p if acc is None else acc + p
-        # terms: (value uint32, exact worst-case bound as python int)
-        terms = [(const_ref[b], q - 1)]
-        for j0, ln in groups:
-            g = acc[:, (j0 + ln - 1) * bw:(j0 + ln) * bw]
-            for m in range(ln - 2, -1, -1):
-                g = acc[:, (j0 + m) * bw:(j0 + m + 1) * bw] + (g << 8)
-            u = g.astype(jnp.uint32) + np.uint32(1 << 31)   # = g + 2^31
-            if j0 == 0:
-                terms.append((u, (1 << 31) + _group_bound(bounds, j0, ln)))
-            else:
-                w = pow(2, 8 * j0, q)
-                s = shoup_mulmod_lazy(u, np.uint32(w),
-                                      np.uint32((w << 32) // q), q)
-                terms.append((s, 2 * q - 1))
-        # sum with overflow-aware laziness
-        total = sum(bd for _, bd in terms)
-        if total >= 1 << 32:
-            red = []
-            for v, bd in terms:
-                if bd >= 2 * q:
-                    v = shoup_mulmod_lazy(v, jnp.uint32(1),
-                                          jnp.uint32(mt.tbl.ps.one_shoup), q)
-                    bd = 2 * q - 1
-                red.append((_csub(v, q), q - 1))
-            terms = red
-            assert sum(bd for _, bd in terms) < 1 << 32, "recombine overflow"
-        z = functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
-        outs.append(z)
-    return outs[0] if nb == 1 else jnp.concatenate(outs, axis=1)
+    bw, D, q = mt.bw, mt.D, mt.q
+    acc = None
+    for i in range(D):
+        p = lax.dot_general(planes_b[i], w_ref[b, i],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        acc = p if acc is None else acc + p
+    # terms: (value uint32, exact worst-case bound as python int)
+    terms = [(const_ref[b], q - 1)]
+    for j0, ln in groups:
+        g = acc[:, (j0 + ln - 1) * bw:(j0 + ln) * bw]
+        for m in range(ln - 2, -1, -1):
+            g = acc[:, (j0 + m) * bw:(j0 + m + 1) * bw] + (g << 8)
+        u = g.astype(jnp.uint32) + np.uint32(1 << 31)   # = g + 2^31
+        if j0 == 0:
+            terms.append((u, (1 << 31) + _group_bound(bounds, j0, ln)))
+        else:
+            w = pow(2, 8 * j0, q)
+            s = shoup_mulmod_lazy(u, np.uint32(w),
+                                  np.uint32((w << 32) // q), q)
+            terms.append((s, 2 * q - 1))
+    # sum with overflow-aware laziness
+    total = sum(bd for _, bd in terms)
+    if total >= 1 << 32:
+        red = []
+        for v, bd in terms:
+            if bd >= 2 * q:
+                v = shoup_mulmod_lazy(v, jnp.uint32(1),
+                                      jnp.uint32(mt.tbl.ps.one_shoup), q)
+                bd = 2 * q - 1
+            red.append((_csub(v, q), q - 1))
+        terms = red
+        assert sum(bd for _, bd in terms) < 1 << 32, "recombine overflow"
+    return functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
 
 
-def _fwd_rolls(v, col, rtw_ref, rtw_sh_ref, mt: MxuTables):
-    """Lr merged-psi CT roll stages (distances n/2 .. 128), Harvey-lazy;
-    in [0, q) -> out [0, 4q) -> csub'd back to canonical for digit split."""
-    n, q = mt.n, mt.q
+def _block_matmul(blocks, w_ref, const_ref, mt: MxuTables, groups, bounds):
+    """Stage matrix over the block-list representation: per 128-lane block,
+    digit split -> int8 dot -> packed recombination.  No concatenation —
+    data stays as nb separate (TB, bw) tiles."""
+    return [_one_block_matmul(_digit_planes(blk, mt.q >> 1, mt.D), b,
+                              w_ref, const_ref, mt, groups, bounds)
+            for b, blk in enumerate(blocks)]
+
+
+def _split_blocks(ref, mt: MxuTables):
+    """(TB, n) ref -> list of nb (TB, bw) tiles (vreg-aligned reads)."""
+    return [ref[:, b * mt.bw:(b + 1) * mt.bw] for b in range(mt.nb)]
+
+
+def _store_blocks(ref, blocks, mt: MxuTables):
+    """Write nb (TB, bw) tiles into the (TB, n) output ref."""
+    for b, blk in enumerate(blocks):
+        ref[:, b * mt.bw:(b + 1) * mt.bw] = blk
+
+
+def _fwd_rolls(blocks, mt: MxuTables):
+    """Lr merged-psi CT wide stages (distances n/2 .. 128), Harvey-lazy, on
+    the block-list representation: a butterfly at distance t >= bw pairs
+    whole (TB, bw) tiles, so each stage is pure list regrouping — no rolls,
+    selects, slices or concats.  The merged-psi twiddle is a per-butterfly
+    SCALAR at these stages (baked-in constant), and the Shoup multiply runs
+    on only the upper-half tiles.  In [0, q) -> out canonical [0, q)."""
+    q = mt.q
     for s in range(mt.Lr):
-        t = n >> (s + 1)
-        bit = (col & t) != 0
-        uu, vv = _partners(v, bit, t)
-        hi = shoup_mulmod_lazy(vv, rtw_ref[s], rtw_sh_ref[s], q)
-        v = _csub(uu, 2 * q) + hi
-    return _csub(_csub(v, 2 * q), q)
+        ws = mt.tbl.ct_fwd_stages[s][0].reshape(-1)
+        wsh = mt.tbl.ct_fwd_stages[s][1].reshape(-1)
+        half = len(blocks) >> (s + 1)          # tiles per butterfly half
+        out = []
+        for b in range(1 << s):
+            grp = blocks[b * 2 * half:(b + 1) * 2 * half]
+            los, his = [], []
+            for k in range(half):
+                lo = _csub(grp[k], 2 * q)
+                h = shoup_mulmod_lazy(grp[half + k], np.uint32(ws[b]),
+                                      np.uint32(wsh[b]), q)
+                los.append(lo + h)
+                his.append(lo - h + np.uint32(2 * q))
+            out += los + his
+        blocks = out
+    return [_csub(_csub(v, 2 * q), q) for v in blocks]
 
 
-def _inv_rolls(v, col, rtw_ref, rtw_sh_ref, mt: MxuTables):
-    """Lr merged-psi GS inverse roll stages (distances 128 .. n/2); accepts
-    [0, 2q); the last stage carries n^{-1} and canonicalizes."""
-    n, q, L = mt.n, mt.q, mt.logn
+def _inv_rolls(blocks, mt: MxuTables):
+    """Lr merged-psi GS inverse wide stages (distances 128 .. n/2) on the
+    block-list representation; accepts [0, 2q); the last stage carries
+    n^{-1} on the sum branch and canonicalizes."""
+    q, L = mt.q, mt.logn
     for k in range(mt.Lr):
         s = L - mt.Lr + k
-        t = 1 << s
-        bit = (col & t) != 0
-        uu, vv = _partners(v, bit, t)
-        d = uu - vv + np.uint32(2 * q)
-        if s < L - 1:
-            su = _csub(uu + vv, 2 * q)
-            hi = shoup_mulmod_lazy(d, rtw_ref[k], rtw_sh_ref[k], q)
-            v = jnp.where(bit, hi, su)
-        else:
-            v = shoup_mulmod_lazy(jnp.where(bit, d, uu + vv),
-                                  rtw_ref[k], rtw_sh_ref[k], q)
-            v = _csub(v, q)
-    return v
+        ws = mt.tbl.gs_inv_stages[s][0].reshape(-1)
+        wsh = mt.tbl.gs_inv_stages[s][1].reshape(-1)
+        last = s == L - 1
+        half = (1 << s) // mt.bw          # >= 1: these stages have t >= bw
+        nblk = len(blocks) // (2 * half)
+        out = []
+        for b in range(nblk):
+            grp = blocks[b * 2 * half:(b + 1) * 2 * half]
+            los, his = [], []
+            for m in range(half):
+                lo, hi = grp[m], grp[half + m]
+                d = lo - hi + np.uint32(2 * q)
+                hd = shoup_mulmod_lazy(d, np.uint32(ws[b]),
+                                       np.uint32(wsh[b]), q)
+                if last:
+                    nw, nwsh = mt.tbl.ninv_fold
+                    su = shoup_mulmod_lazy(lo + hi, np.uint32(nw[0, 0]),
+                                           np.uint32(nwsh[0, 0]), q)
+                    los.append(_csub(su, q))
+                    his.append(_csub(hd, q))
+                else:
+                    los.append(_csub(lo + hi, 2 * q))
+                    his.append(hd)
+            out += los + his
+        blocks = out
+    return blocks
 
 
-def _fwd_mxu(v, col, refs, mt: MxuTables):
-    """Full forward NTT: roll stages -> digit split -> MXU block matmul.
-    Output lazy uint32 (< 2^25 + D*q), order identical to ntt_fwd_merged."""
+def _fwd_mxu(blocks, refs, mt: MxuTables):
+    """Full forward NTT on the block list: wide stages -> per-block digit
+    split + MXU matmul.  Output blocks lazy uint32 (< 2^32, bound per the
+    packing plan); concatenated order identical to ntt_fwd_merged."""
     if mt.Lr:
-        v = _fwd_rolls(v, col, refs["rtwf"], refs["rtwf_sh"], mt)
-    planes = _digit_planes(v, mt.q >> 1, mt.D)
-    return _block_matmul(planes, refs["wf"], refs["constf"], mt,
+        blocks = _fwd_rolls(blocks, mt)
+    return _block_matmul(blocks, refs["wf"], refs["constf"], mt,
                          mt.groups_f, mt.bounds_f)
 
 
-def _inv_mxu(v_canon, col, refs, mt: MxuTables):
-    """Full inverse NTT from canonical input; canonical output."""
-    planes = _digit_planes(v_canon, mt.q >> 1, mt.D)
-    v = _block_matmul(planes, refs["wi"], refs["consti"], mt,
-                      mt.groups_i, mt.bounds_i)
+def _inv_mxu(blocks_canon, refs, mt: MxuTables):
+    """Full inverse NTT from canonical blocks; canonical blocks out."""
+    blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
+                           mt.groups_i, mt.bounds_i)
+    # reduce lazy recombination sums into [0, 2q)
+    blocks = [shoup_mulmod_lazy(v, jnp.uint32(1),
+                                jnp.uint32(mt.tbl.ps.one_shoup), mt.q)
+              for v in blocks]
     if mt.Lr:
-        # reduce lazy sum into [0, 2q) for the roll stages
-        v = shoup_mulmod_lazy(v, jnp.uint32(1),
-                              jnp.uint32(mt.tbl.ps.one_shoup), mt.q)
-        v = _inv_rolls(v, col, refs["rtwi"], refs["rtwi_sh"], mt)
-    else:
-        v = shoup_mulmod_lazy(v, jnp.uint32(1),
-                              jnp.uint32(mt.tbl.ps.one_shoup), mt.q)
-        v = _csub(v, mt.q)
-    return v
+        return _inv_rolls(blocks, mt)
+    return [_csub(v, mt.q) for v in blocks]
 
 
 # ----------------------------------------------------------------------
@@ -364,17 +402,11 @@ def _table_inputs(mt: MxuTables, want_fwd: bool, want_inv: bool):
         arrs.append(jnp.asarray(a))
 
     if want_fwd:
-        if mt.Lr:
-            add("rtwf", mt.rtw_f)
-            add("rtwf_sh", mt.rtw_f_shoup)
         add("wf", mt.wf)
         add("constf", mt.constf)
     if want_inv:
         add("wi", mt.wi)
         add("consti", mt.consti)
-        if mt.Lr:
-            add("rtwi", mt.rtw_i)
-            add("rtwi_sh", mt.rtw_i_shoup)
     specs = [pl.BlockSpec(a.shape, (lambda *_, nd=a.ndim: (0,) * nd),
                           memory_space=pltpu.VMEM) for a in arrs]
     return names, arrs, specs
@@ -443,11 +475,11 @@ def polymul_mxu_fn(name: str, tile_b: int | None = None,
         x_ref, y_ref = refs[0], refs[1]
         z_ref = refs[-1]
         tab = dict(zip(names, refs[2:-1]))
-        col = _iota_cols(x_ref.shape)
-        X = _fwd_mxu(x_ref[:], col, tab, mt)
-        Y = _fwd_mxu(y_ref[:], col, tab, mt)
-        Z = mulmod_barrett(X, Y, mt.q, ps.r32, ps.r32_shoup, ps.one_shoup)
-        z_ref[:] = _inv_mxu(Z, col, tab, mt)
+        X = _fwd_mxu(_split_blocks(x_ref, mt), tab, mt)
+        Y = _fwd_mxu(_split_blocks(y_ref, mt), tab, mt)
+        Z = [mulmod_barrett(xb, yb, mt.q, ps.r32, ps.r32_shoup,
+                            ps.one_shoup) for xb, yb in zip(X, Y)]
+        _store_blocks(z_ref, _inv_mxu(Z, tab, mt), mt)
 
     run = _make_runner(kernel, mt, 2, names, arrs, specs,
                        _tile_b(mt, tile_b), interpret)
@@ -468,11 +500,11 @@ def ntt_mxu_fn(name: str, tile_b: int | None = None,
     def kernel(*refs):
         x_ref, out_ref = refs[0], refs[-1]
         tab = dict(zip(names, refs[1:-1]))
-        col = _iota_cols(x_ref.shape)
-        X = _fwd_mxu(x_ref[:], col, tab, mt)
-        X = shoup_mulmod_lazy(X, jnp.uint32(1),
-                              jnp.uint32(mt.tbl.ps.one_shoup), mt.q)
-        out_ref[:] = _csub(X, mt.q)
+        X = _fwd_mxu(_split_blocks(x_ref, mt), tab, mt)
+        X = [_csub(shoup_mulmod_lazy(xb, jnp.uint32(1),
+                                     jnp.uint32(mt.tbl.ps.one_shoup), mt.q),
+                   mt.q) for xb in X]
+        _store_blocks(out_ref, X, mt)
 
     run = _make_runner(kernel, mt, 1, names, arrs, specs,
                        _tile_b(mt, tile_b), interpret)
@@ -489,8 +521,8 @@ def intt_mxu_fn(name: str, tile_b: int | None = None,
     def kernel(*refs):
         x_ref, out_ref = refs[0], refs[-1]
         tab = dict(zip(names, refs[1:-1]))
-        col = _iota_cols(x_ref.shape)
-        out_ref[:] = _inv_mxu(x_ref[:], col, tab, mt)
+        _store_blocks(out_ref, _inv_mxu(_split_blocks(x_ref, mt), tab, mt),
+                      mt)
 
     run = _make_runner(kernel, mt, 1, names, arrs, specs,
                        _tile_b(mt, tile_b), interpret)
