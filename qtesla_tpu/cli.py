@@ -44,14 +44,18 @@ def cmd_info(args) -> int:
 
 def _algos(arg: str) -> list[str]:
     from .models import ALGORITHMS
-    every = sorted(ALGORITHMS) + ["nussbaumer"]
+    every = sorted(ALGORITHMS) + ["nussbaumer", "fused", "mxu"]
     if arg == "all":
-        return every
+        import jax
+        if jax.default_backend() == "tpu":
+            return every
+        # the Pallas kernels compile only for TPU; 'all' on CPU skips them
+        return [a for a in every if a not in ("fused", "mxu")]
     algos = arg.split(",")
     for a in algos:
-        if a not in every + ["fused"]:
+        if a not in every:
             raise SystemExit(f"unknown algo {a!r}; choose from "
-                             f"{every + ['fused']} or 'all'")
+                             f"{every} or 'all'")
     return algos
 
 

@@ -40,10 +40,11 @@ __all__ = ["polymul_dp_fn", "polymul_fourstep_sharded_fn",
 def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
     """Pure batch data-parallelism: the whole pipeline replicated, batch
     sharded over every mesh device (the reference's one-block-per-polynomial
-    batching, scaled across chips).  XLA inserts no collectives at all."""
-    from ..models import ALGORITHMS
-    tbl = get_tables(name)
-    pipeline = functools.partial(ALGORITHMS[algo], tbl=tbl)
+    batching, scaled across chips).  XLA inserts no collectives at all.
+    Works for every algo, including the Pallas kernels ('fused', 'mxu') —
+    each shard runs the single-chip kernel on its local batch."""
+    from ..models import polymul_fn
+    pipeline = polymul_fn(name, algo)
     spec = NamedSharding(mesh, P(("data", "model")))
     return jax.jit(pipeline, in_shardings=(spec, spec), out_shardings=spec)
 
