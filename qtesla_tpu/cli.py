@@ -142,6 +142,56 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Data-parallel scaling efficiency over the available devices (the
+    BASELINE.md north-star harness: polymuls/s at 1 device vs d devices,
+    same per-device batch).  On a pod this measures real ICI/DCN scaling;
+    under XLA_FLAGS=--xla_force_host_platform_device_count=N it validates
+    the sharded code path on virtual CPU devices."""
+    import jax
+    from .parallel import make_mesh
+    from .parallel.sharded import polymul_dp_fn, polymul_fourstep_sharded_fn
+    from .params import get_params
+    from .utils.timing import measure
+
+    ps = get_params(args.param_set)
+    print(_parameter_banner(ps.name))
+    ndev = len(jax.devices())
+    print(f"backend: {jax.default_backend()}  devices: {ndev}")
+    rng = np.random.default_rng(args.seed)
+    base = None
+    d = 1
+    while d <= ndev:
+        mesh = make_mesh(data=d, model=1)
+        B = args.batch_per_device * d
+        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        fn = polymul_dp_fn(ps.name, mesh, algo=args.algo)
+        r = measure(fn, x, y, warmup=2, iters=args.iters, items_per_iter=B,
+                    chain=True, name=f"dp[d={d},B={B},{args.algo}]")
+        if base is None:
+            base = r.throughput_best
+        eff = r.throughput_best / (base * d)
+        print(f"  {r.line()}  scaling-eff {eff:5.1%}")
+        d *= 2
+    if args.model > 1:
+        if ndev < args.model or ndev % args.model:
+            print(f"  fourstep SP skipped: model={args.model} needs a "
+                  f"divisible device count, have {ndev}")
+            return 0
+        mesh = make_mesh(data=ndev // args.model, model=args.model)
+        B = args.batch_per_device * mesh.shape["data"]
+        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        fn = polymul_fourstep_sharded_fn(ps.name, mesh)
+        r = measure(fn, x, y, warmup=2, iters=args.iters, items_per_iter=B,
+                    chain=True,
+                    name=f"fourstep[data={mesh.shape['data']},"
+                         f"model={args.model},B={B}]")
+        print(f"  {r.line()}")
+    return 0
+
+
 def cmd_microbench(args) -> int:
     """Modular-reduction primitive throughput (reference red_assembly /
     -speedgpu 7, NTT.cu:282-377, main.cu:211-212)."""
@@ -156,6 +206,16 @@ def cmd_microbench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when a sitecustomize imported jax at startup
+    # (env alone is too late then; the config update still works pre-query)
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     p = argparse.ArgumentParser(
         prog="qtesla_tpu",
         description="TPU-native qTESLA negacyclic polynomial multiplication")
@@ -187,6 +247,17 @@ def main(argv=None) -> int:
     w.add_argument("--batches", default="1024,4096,16384,65536")
     w.add_argument("--iters", type=int, default=10)
 
+    g = sub.add_parser("scaling",
+                       help="multi-device DP/SP scaling efficiency")
+    g.add_argument("--param-set", default="qtesla-iii-speed")
+    g.add_argument("--algo", default="merged")
+    g.add_argument("--batch-per-device", type=int, default=4096)
+    g.add_argument("--iters", type=int, default=10)
+    g.add_argument("--model", type=int, default=1,
+                   help="also run the four-step SP pipeline at this "
+                        "model-axis size")
+    g.add_argument("-r", "--seed", type=int, default=0)
+
     m = sub.add_parser("microbench",
                        help="modular-reduction primitive throughput")
     m.add_argument("--param-set", default="qtesla-iii-speed")
@@ -196,7 +267,7 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     return {"info": cmd_info, "correctness": cmd_correctness,
-            "speed": cmd_speed, "sweep": cmd_sweep,
+            "speed": cmd_speed, "sweep": cmd_sweep, "scaling": cmd_scaling,
             "microbench": cmd_microbench}[args.cmd](args)
 
 

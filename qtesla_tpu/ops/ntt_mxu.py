@@ -200,9 +200,6 @@ class MxuTables:
         self.nb = n // bw
         self.Lr = L - bw.bit_length() + 1      # roll stages (distance >= bw)
         self.D = _ndigits(q)
-        # scalars for recombination: 2^{8j} mod q + Shoup companions
-        self.pow2 = [pow(2, 8 * j, q) for j in range(self.D)]
-        self.pow2_shoup = [(w << 32) // q for w in self.pow2]
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
             _fwd_matrix(tbl, self.Lr), q, bw, self.D)
@@ -455,7 +452,7 @@ def _tile_b(mt: MxuTables, requested: int | None) -> int:
     # ~16 MB VMEM budget.  tile_b=256 measured fastest for n=1024 on v5e
     # (sweep 64..512, 2026-08).
     tables = 2 * mt.nb * mt.D * mt.bw * (mt.D * mt.bw)
-    cap = (14 * 1024 * 1024 - tables) // (32 * mt.n)
+    cap = (20 * 1024 * 1024 - tables) // (32 * mt.n)
     tb = 8
     while tb * 2 <= min(cap, 256):
         tb *= 2
