@@ -24,8 +24,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REFERENCE_ESTIMATE = 1.0e6   # polymuls/s, see module docstring
 
 PARAM_SET = "qtesla-iii-speed"
-BATCHES = (16384, 32768)
-ITERS = 50
+BATCHES = (16384, 32768, 65536)
+# the axon tunnel's device->host readback costs ~25 ms per chained run;
+# 400 in-device iterations amortize it below 0.1 ms/iter
+ITERS = 400
 
 
 def pick_algo() -> str:
