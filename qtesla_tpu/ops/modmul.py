@@ -20,11 +20,13 @@ import numpy as np
 
 __all__ = [
     "mulhi32",
+    "mulhi32_sloppy",
     "widemul32",
     "add_mod",
     "sub_mod",
     "shoup_mulmod",
     "shoup_mulmod_lazy",
+    "shoup_mulmod_sloppy",
     "reduce_u32",
     "mulmod_barrett",
     "u32",
@@ -61,6 +63,33 @@ def widemul32(x, y):
     """(hi, lo) 64-bit product of uint32 vectors as two uint32 vectors."""
     lo = x * y  # wraps mod 2^32 by XLA unsigned semantics
     return mulhi32(x, y), lo
+
+
+def mulhi32_sloppy(x, y):
+    """mulhi32 minus its carry assembly: returns hi - eps with
+    eps in {0, 1, 2}.
+
+    Drops the ll = x0*y0 partial product and the mid-sum carry entirely
+    (their only contribution to the high word is a carry of at most 2),
+    saving one multiply and the carry-propagation chain.  Only valid where
+    the caller compensates the underestimate, e.g. shoup_mulmod_sloppy."""
+    x1 = x >> 16
+    y1 = y >> 16
+    lh = (x & _U16) * y1
+    hl = x1 * (y & _U16)
+    return x1 * y1 + (lh >> 16) + (hl >> 16)
+
+
+def shoup_mulmod_sloppy(x, w, w_shoup, q: int):
+    """x*w mod q in [0, 4q), w a precomputed constant < q, x any uint32;
+    requires 4q < 2^32.
+
+    Harvey's lazy Shoup product with a sloppy (underestimating) mulhi:
+    r = x*w - (hi - eps)*q = r_exact + eps*q with r_exact in [0, 2q) and
+    eps in {0, 1, 2}, so r in [0, 4q) — one conditional subtract returns
+    to the [0, 2q) range at 5 fewer ops than the exact chain."""
+    hi = mulhi32_sloppy(x, w_shoup)
+    return x * w - hi * jnp.uint32(q)
 
 
 def add_mod(a, b, q: int):

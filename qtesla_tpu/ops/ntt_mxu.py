@@ -42,7 +42,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmul import mulmod_barrett, shoup_mulmod_lazy
+from .modmul import shoup_mulmod_sloppy, widemul32
 from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
@@ -263,17 +263,18 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
             terms.append((u, (1 << 31) + _group_bound(bounds, j0, ln)))
         else:
             w = pow(2, 8 * j0, q)
-            s = shoup_mulmod_lazy(u, np.uint32(w),
-                                  np.uint32((w << 32) // q), q)
-            terms.append((s, 2 * q - 1))
+            s = shoup_mulmod_sloppy(u, np.uint32(w),
+                                    np.uint32((w << 32) // q), q)
+            terms.append((_csub(s, 2 * q), 2 * q - 1))
     # sum with overflow-aware laziness
     total = sum(bd for _, bd in terms)
     if total >= 1 << 32:
         red = []
         for v, bd in terms:
             if bd >= 2 * q:
-                v = shoup_mulmod_lazy(v, jnp.uint32(1),
-                                      jnp.uint32(mt.tbl.ps.one_shoup), q)
+                v = _csub(shoup_mulmod_sloppy(
+                    v, jnp.uint32(1), jnp.uint32(mt.tbl.ps.one_shoup), q),
+                    2 * q)
                 bd = 2 * q - 1
             red.append((_csub(v, q), q - 1))
         terms = red
@@ -319,8 +320,9 @@ def _fwd_rolls(blocks, mt: MxuTables):
             los, his = [], []
             for k in range(half):
                 lo = _csub(grp[k], 2 * q)
-                h = shoup_mulmod_lazy(grp[half + k], np.uint32(ws[b]),
-                                      np.uint32(wsh[b]), q)
+                h = _csub(shoup_mulmod_sloppy(
+                    grp[half + k], np.uint32(ws[b]), np.uint32(wsh[b]), q),
+                    2 * q)
                 los.append(lo + h)
                 his.append(lo - h + np.uint32(2 * q))
             out += los + his
@@ -347,12 +349,13 @@ def _inv_rolls(blocks, mt: MxuTables):
             for m in range(half):
                 lo, hi = grp[m], grp[half + m]
                 d = lo - hi + np.uint32(2 * q)
-                hd = shoup_mulmod_lazy(d, np.uint32(ws[b]),
-                                       np.uint32(wsh[b]), q)
+                hd = _csub(shoup_mulmod_sloppy(d, np.uint32(ws[b]),
+                                               np.uint32(wsh[b]), q), 2 * q)
                 if last:
                     nw, nwsh = mt.tbl.ninv_fold
-                    su = shoup_mulmod_lazy(lo + hi, np.uint32(nw[0, 0]),
-                                           np.uint32(nwsh[0, 0]), q)
+                    su = _csub(shoup_mulmod_sloppy(
+                        lo + hi, np.uint32(nw[0, 0]),
+                        np.uint32(nwsh[0, 0]), q), 2 * q)
                     los.append(_csub(su, q))
                     his.append(_csub(hd, q))
                 else:
@@ -373,14 +376,34 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
                          mt.groups_f, mt.bounds_f)
 
 
+def _reduce_2q(v, mt: MxuTables):
+    """Any uint32 -> [0, 2q): sloppy Shoup by w = 1, then one csub."""
+    return _csub(shoup_mulmod_sloppy(v, jnp.uint32(1),
+                                     jnp.uint32(mt.tbl.ps.one_shoup), mt.q),
+                 2 * mt.q)
+
+
+def _pointwise(xb, yb, mt: MxuTables):
+    """Hadamard mulmod for one block pair (any uint32 inputs, canonical
+    output) — the reference pointwise_mult (NTT.cu:1155-1160) with sloppy
+    Shoup folds: z = (hi*2^32 + lo) mod q = hi*r32 + lo (mod q), both
+    reduced lazily to [0, 2q) and the sum csub'd to canonical."""
+    q, ps = mt.q, mt.tbl.ps
+    hi, lo = widemul32(xb, yb)
+    a = _csub(shoup_mulmod_sloppy(hi, jnp.uint32(ps.r32),
+                                  jnp.uint32(ps.r32_shoup), q), 2 * q)
+    b = _csub(shoup_mulmod_sloppy(lo, jnp.uint32(1),
+                                  jnp.uint32(ps.one_shoup), q), 2 * q)
+    z = a + b                       # < 4q
+    return _csub(_csub(z, 2 * q), q)
+
+
 def _inv_mxu(blocks_canon, refs, mt: MxuTables):
     """Full inverse NTT from canonical blocks; canonical blocks out."""
     blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
                            mt.groups_i, mt.bounds_i)
     # reduce lazy recombination sums into [0, 2q)
-    blocks = [shoup_mulmod_lazy(v, jnp.uint32(1),
-                                jnp.uint32(mt.tbl.ps.one_shoup), mt.q)
-              for v in blocks]
+    blocks = [_reduce_2q(v, mt) for v in blocks]
     if mt.Lr:
         return _inv_rolls(blocks, mt)
     return [_csub(v, mt.q) for v in blocks]
@@ -474,8 +497,7 @@ def polymul_mxu_fn(name: str, tile_b: int | None = None,
         tab = dict(zip(names, refs[2:-1]))
         X = _fwd_mxu(_split_blocks(x_ref, mt), tab, mt)
         Y = _fwd_mxu(_split_blocks(y_ref, mt), tab, mt)
-        Z = [mulmod_barrett(xb, yb, mt.q, ps.r32, ps.r32_shoup,
-                            ps.one_shoup) for xb, yb in zip(X, Y)]
+        Z = [_pointwise(xb, yb, mt) for xb, yb in zip(X, Y)]
         _store_blocks(z_ref, _inv_mxu(Z, tab, mt), mt)
 
     run = _make_runner(kernel, mt, 2, names, arrs, specs,
@@ -498,9 +520,7 @@ def ntt_mxu_fn(name: str, tile_b: int | None = None,
         x_ref, out_ref = refs[0], refs[-1]
         tab = dict(zip(names, refs[1:-1]))
         X = _fwd_mxu(_split_blocks(x_ref, mt), tab, mt)
-        X = [_csub(shoup_mulmod_lazy(xb, jnp.uint32(1),
-                                     jnp.uint32(mt.tbl.ps.one_shoup), mt.q),
-                   mt.q) for xb in X]
+        X = [_csub(_reduce_2q(xb, mt), mt.q) for xb in X]
         _store_blocks(out_ref, X, mt)
 
     run = _make_runner(kernel, mt, 1, names, arrs, specs,

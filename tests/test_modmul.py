@@ -94,3 +94,32 @@ def test_mulmod_barrett_generic(rng, name):
     got = np.asarray(fn(x, y, q, ps.r32, ps.r32_shoup, ps.one_shoup))
     want = ((x.astype(object) * y.astype(object)) % q).astype(np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("q", QS)
+def test_shoup_mulmod_sloppy(rng, q):
+    """Sloppy variant: congruent mod q and provably < 4q for ANY uint32 x
+    (including the adversarial corners that maximize the dropped carry)."""
+    w = _rand_u32(rng, 0, q, 4096)
+    x = _rand_u32(rng, 0, 1 << 32, 4096)
+    x[:4] = [0, 0xFFFFFFFF, 0xFFFF, 0xFFFF0000]
+    w[:4] = [q - 1, q - 1, q - 1, q - 1]
+    wsh = ((w.astype(object) << 32) // q).astype(np.uint32)
+    got = np.asarray(jax.jit(mm.shoup_mulmod_sloppy, static_argnums=3)(
+        x, w, wsh, q))
+    want = (x.astype(object) * w.astype(object)) % q
+    assert (got.astype(np.uint64) < 4 * q).all(), "sloppy bound violated"
+    np.testing.assert_array_equal(got.astype(object) % q, want)
+
+
+def test_mulhi32_sloppy_error_bound(rng):
+    """hi_sloppy in {hi-2, hi-1, hi} for all inputs, incl. carry-maximizing
+    corners."""
+    x = _rand_u32(rng, 0, 1 << 32, 8192)
+    y = _rand_u32(rng, 0, 1 << 32, 8192)
+    x[:3] = [0xFFFFFFFF, 0xFFFF, 0x0001FFFF]
+    y[:3] = [0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF]
+    got = np.asarray(jax.jit(mm.mulhi32_sloppy)(x, y)).astype(object)
+    exact = (x.astype(object) * y.astype(object)) >> 32
+    err = exact - got
+    assert err.min() >= 0 and err.max() <= 2, (err.min(), err.max())
