@@ -74,3 +74,20 @@ def test_mxu_batch_padding(rng):
         z = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(x, y))
         want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
         np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_polymul_adversarial_operands(name):
+    """Laziness-bound stress: operands pinned at the extremes (q-1 and 0
+    patterns) maximize every intermediate magnitude in the lazy chains
+    (sloppy Shoup products, packed recombination, pointwise folds)."""
+    ps = get_params(name)
+    n = ps.n
+    x = np.full((4, n), ps.q - 1, dtype=np.uint32)
+    y = np.full((4, n), ps.q - 1, dtype=np.uint32)
+    x[1, ::2] = 0
+    y[2, 1::2] = 0
+    x[3] = np.arange(n, dtype=np.uint32) % ps.q
+    z = np.asarray(polymul_mxu_fn(name, interpret=True)(x, y))
+    want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
