@@ -15,6 +15,8 @@ All functions keep residues canonical in [0, q).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +30,8 @@ __all__ = [
     "shoup_mulmod_lazy",
     "shoup_mulmod_sloppy",
     "reduce_u32",
+    "sparse_reduce_plan",
+    "fast_reduce_2q",
     "mulmod_barrett",
     "u32",
 ]
@@ -126,6 +130,55 @@ def shoup_mulmod(x, w, w_shoup, q: int):
 def reduce_u32(x, q: int, one_shoup: int):
     """Any uint32 -> x mod q via Shoup with w = 1 (one_shoup = floor(2^32/q))."""
     return shoup_mulmod(x, jnp.uint32(1), jnp.uint32(one_shoup), q)
+
+
+@functools.lru_cache(maxsize=None)
+def sparse_reduce_plan(q: int):
+    """Shift-add reduction plan for sparse q = 2^a + sum(2^b) + 1 (the
+    qTESLA moduli 8404993 = 2^23+2^14+1 and 65537 = 2^16+1 qualify; the
+    vector twin of the reference's shift-add Barrett, NTT.cu:341-361).
+
+    With hi = x >> a and lo = x & (2^a - 1):
+        x = hi*2^a + lo == lo - sum_b (hi << b) - hi   (mod q),
+    all terms int32-exact.  Returns (a, mids, k, ncsub) such that
+    r + k*q >= 0 and ncsub conditional subtracts by 2q land in [0, 2q);
+    None when q isn't sparse or a bound would overflow int32."""
+    bits = [i for i in range(q.bit_length()) if (q >> i) & 1]
+    if not bits or bits[0] != 0 or len(bits) > 5 or len(bits) < 2:
+        return None
+    a, mids = bits[-1], bits[1:-1]
+    himax = (1 << (32 - a)) - 1
+    negmax = himax * (sum(1 << b for b in mids) + 1)
+    if negmax >= 1 << 31 or any(himax << b >= 1 << 31 for b in mids):
+        return None
+    k = -(-negmax // q)
+    bound = k * q + (1 << a)
+    if bound >= 1 << 31:
+        return None
+    ncsub = 0
+    while bound > 2 * q:
+        bound = max(2 * q, bound - 2 * q)
+        ncsub += 1
+    return a, tuple(mids), k, ncsub
+
+
+def fast_reduce_2q(x, q: int, one_shoup: int):
+    """Any uint32 -> congruent value in [0, 2q).  Uses the sparse shift-add
+    plan when q qualifies (6-10 ops, no multiply), else a sloppy Shoup by 1
+    plus one conditional subtract."""
+    plan = sparse_reduce_plan(q)
+    if plan is None:
+        r = shoup_mulmod_sloppy(x, jnp.uint32(1), jnp.uint32(one_shoup), q)
+        return jnp.where(r >= jnp.uint32(2 * q), r - jnp.uint32(2 * q), r)
+    a, mids, k, ncsub = plan
+    hi = (x >> np.uint32(a)).astype(jnp.int32)
+    r = (x & np.uint32((1 << a) - 1)).astype(jnp.int32) - hi
+    for b in mids:
+        r = r - (hi << np.int32(b))
+    r = (r + np.int32(k * q)).astype(jnp.uint32)
+    for _ in range(ncsub):
+        r = jnp.where(r >= np.uint32(2 * q), r - np.uint32(2 * q), r)
+    return r
 
 
 def mulmod_barrett(x, y, q: int, r32: int, r32_shoup: int, one_shoup: int):

@@ -42,7 +42,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmul import shoup_mulmod_sloppy, widemul32
+from .modmul import fast_reduce_2q, shoup_mulmod_sloppy, widemul32
 from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
@@ -377,23 +377,21 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
 
 
 def _reduce_2q(v, mt: MxuTables):
-    """Any uint32 -> [0, 2q): sloppy Shoup by w = 1, then one csub."""
-    return _csub(shoup_mulmod_sloppy(v, jnp.uint32(1),
-                                     jnp.uint32(mt.tbl.ps.one_shoup), mt.q),
-                 2 * mt.q)
+    """Any uint32 -> [0, 2q): sparse shift-add reduction when q qualifies,
+    else sloppy Shoup by w = 1 plus one csub."""
+    return fast_reduce_2q(v, mt.q, mt.tbl.ps.one_shoup)
 
 
 def _pointwise(xb, yb, mt: MxuTables):
     """Hadamard mulmod for one block pair (any uint32 inputs, canonical
-    output) — the reference pointwise_mult (NTT.cu:1155-1160) with sloppy
-    Shoup folds: z = (hi*2^32 + lo) mod q = hi*r32 + lo (mod q), both
-    reduced lazily to [0, 2q) and the sum csub'd to canonical."""
+    output) — the reference pointwise_mult (NTT.cu:1155-1160) with lazy
+    folds: z = (hi*2^32 + lo) mod q = hi*r32 + lo (mod q), both reduced
+    lazily to [0, 2q) and the sum csub'd to canonical."""
     q, ps = mt.q, mt.tbl.ps
     hi, lo = widemul32(xb, yb)
     a = _csub(shoup_mulmod_sloppy(hi, jnp.uint32(ps.r32),
                                   jnp.uint32(ps.r32_shoup), q), 2 * q)
-    b = _csub(shoup_mulmod_sloppy(lo, jnp.uint32(1),
-                                  jnp.uint32(ps.one_shoup), q), 2 * q)
+    b = fast_reduce_2q(lo, q, ps.one_shoup)
     z = a + b                       # < 4q
     return _csub(_csub(z, 2 * q), q)
 

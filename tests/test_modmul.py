@@ -123,3 +123,22 @@ def test_mulhi32_sloppy_error_bound(rng):
     exact = (x.astype(object) * y.astype(object)) >> 32
     err = exact - got
     assert err.min() >= 0 and err.max() <= 2, (err.min(), err.max())
+
+
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-i",
+                                  "qtesla-iii-speed", "qtesla-p-i",
+                                  "qtesla-p-iii"])
+def test_fast_reduce_2q(rng, name):
+    """[0, 2q) congruence for any uint32, via the sparse shift-add plan
+    (qTESLA-I/III-speed, smallprime) or the sloppy-Shoup fallback."""
+    ps = get_params(name)
+    q = ps.q
+    x = _rand_u32(rng, 0, 1 << 32, 8192)
+    x[:5] = [0, q - 1, q, 2 * q, 0xFFFFFFFF]
+    got = np.asarray(jax.jit(mm.fast_reduce_2q, static_argnums=(1, 2))(
+        x, q, ps.one_shoup)).astype(object)
+    assert (got < 2 * q).all(), got.max()
+    np.testing.assert_array_equal(got % q, x.astype(object) % q)
+    plan = mm.sparse_reduce_plan(q)
+    if name in ("smallprime", "qtesla-i", "qtesla-iii-speed"):
+        assert plan is not None
