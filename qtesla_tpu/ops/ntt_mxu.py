@@ -302,39 +302,68 @@ def _store_blocks(ref, blocks, mt: MxuTables):
         ref[:, b * mt.bw:(b + 1) * mt.bw] = blk
 
 
+def _csub_to(v, bnd: int, limit: int, q: int):
+    """Conditional-subtract chain: value v < bnd -> v' < limit (limit a
+    multiple of q >= q), congruent mod q.  Halves the bound per csub with
+    power-of-two multiples of q."""
+    while bnd > limit:
+        t = max(((bnd - 1) // q).bit_length() - 1,
+                (limit // q).bit_length() - 1)
+        c = (1 << t) * q
+        v = _csub(v, c)
+        bnd = max(c, bnd - c)
+    return v, bnd
+
+
 def _fwd_rolls(blocks, mt: MxuTables):
     """Lr merged-psi CT wide stages (distances n/2 .. 128), Harvey-lazy, on
     the block-list representation: a butterfly at distance t >= bw pairs
     whole (TB, bw) tiles, so each stage is pure list regrouping — no rolls,
     selects, slices or concats.  The merged-psi twiddle is a per-butterfly
     SCALAR at these stages (baked-in constant), and the Shoup multiply runs
-    on only the upper-half tiles.  In [0, q) -> out canonical [0, q)."""
+    on only the upper-half tiles.
+
+    Laziness engine: the worst-case bound is tracked as a python int and
+    conditional subtracts are emitted ONLY when the uint32 range demands
+    (for q < 2^27 no per-stage csubs fire at all); a final csub chain
+    canonicalizes for the digit split.  In [0, q) -> out canonical."""
     q = mt.q
+    bnd = q                                    # values < bnd throughout
     for s in range(mt.Lr):
         ws = mt.tbl.ct_fwd_stages[s][0].reshape(-1)
         wsh = mt.tbl.ct_fwd_stages[s][1].reshape(-1)
         half = len(blocks) >> (s + 1)          # tiles per butterfly half
+        # h < 4q sloppy; compress operands only if lo + h would overflow
+        h_bnd = 4 * q
+        lo_bnd = bnd
+        if lo_bnd + h_bnd > 1 << 32:
+            h_bnd = 2 * q
+        if lo_bnd + h_bnd > 1 << 32:
+            lo_bnd = 2 * q
         out = []
         for b in range(1 << s):
             grp = blocks[b * 2 * half:(b + 1) * 2 * half]
             los, his = [], []
             for k in range(half):
-                lo = _csub(grp[k], 2 * q)
-                h = _csub(shoup_mulmod_sloppy(
-                    grp[half + k], np.uint32(ws[b]), np.uint32(wsh[b]), q),
-                    2 * q)
+                lo, _ = _csub_to(grp[k], bnd, lo_bnd, q)
+                h = shoup_mulmod_sloppy(
+                    grp[half + k], np.uint32(ws[b]), np.uint32(wsh[b]), q)
+                h, _ = _csub_to(h, 4 * q, h_bnd, q)
                 los.append(lo + h)
-                his.append(lo - h + np.uint32(2 * q))
+                his.append(lo - h + np.uint32(h_bnd))
             out += los + his
         blocks = out
-    return [_csub(_csub(v, 2 * q), q) for v in blocks]
+        bnd = lo_bnd + h_bnd
+    return [_csub_to(v, bnd, q, q)[0] for v in blocks]
 
 
 def _inv_rolls(blocks, mt: MxuTables):
     """Lr merged-psi GS inverse wide stages (distances 128 .. n/2) on the
     block-list representation; accepts [0, 2q); the last stage carries
-    n^{-1} on the sum branch and canonicalizes."""
+    n^{-1} on the sum branch and canonicalizes.  Bounds tracked as python
+    ints; csubs emitted only when uint32 range demands."""
     q, L = mt.q, mt.logn
+    bnd = 2 * q
     for k in range(mt.Lr):
         s = L - mt.Lr + k
         ws = mt.tbl.gs_inv_stages[s][0].reshape(-1)
@@ -342,27 +371,37 @@ def _inv_rolls(blocks, mt: MxuTables):
         last = s == L - 1
         half = (1 << s) // mt.bw          # >= 1: these stages have t >= bw
         nblk = len(blocks) // (2 * half)
+        # operand bound in_bnd = 2^t * q: smallest covering bnd, capped at
+        # 2^31 so that both lo + hi and lo - hi + in_bnd fit in uint32
+        t = 1
+        while (1 << t) * q < bnd:
+            t += 1
+        while (1 << t) * q > 1 << 31:
+            t -= 1
+        in_bnd = (1 << t) * q
+        dq = in_bnd
         out = []
         for b in range(nblk):
             grp = blocks[b * 2 * half:(b + 1) * 2 * half]
             los, his = [], []
             for m in range(half):
-                lo, hi = grp[m], grp[half + m]
-                d = lo - hi + np.uint32(2 * q)
-                hd = _csub(shoup_mulmod_sloppy(d, np.uint32(ws[b]),
-                                               np.uint32(wsh[b]), q), 2 * q)
+                lo, _ = _csub_to(grp[m], bnd, in_bnd, q)
+                hi, _ = _csub_to(grp[half + m], bnd, in_bnd, q)
+                d = lo - hi + np.uint32(dq)
+                hd = shoup_mulmod_sloppy(d, np.uint32(ws[b]),
+                                         np.uint32(wsh[b]), q)
                 if last:
                     nw, nwsh = mt.tbl.ninv_fold
-                    su = _csub(shoup_mulmod_sloppy(
-                        lo + hi, np.uint32(nw[0, 0]),
-                        np.uint32(nwsh[0, 0]), q), 2 * q)
-                    los.append(_csub(su, q))
-                    his.append(_csub(hd, q))
+                    su = shoup_mulmod_sloppy(lo + hi, np.uint32(nw[0, 0]),
+                                             np.uint32(nwsh[0, 0]), q)
+                    los.append(_csub_to(su, 4 * q, q, q)[0])
+                    his.append(_csub_to(hd, 4 * q, q, q)[0])
                 else:
-                    los.append(_csub(lo + hi, 2 * q))
+                    los.append(lo + hi)
                     his.append(hd)
             out += los + his
         blocks = out
+        bnd = q if last else max(2 * in_bnd, 4 * q)
     return blocks
 
 
