@@ -53,6 +53,13 @@ def main() -> int:
         configs.append(("fused", BATCHES[0]))    # comparison point
     if algo != "merged":
         configs.append(("merged", BATCHES[0]))   # fallback / comparison point
+    # the other qTESLA sets (n = 512 / 1024 / 2048), stderr diagnostics only
+    for other in ("qtesla-i", "qtesla-p-i", "qtesla-p-iii"):
+        try:
+            r = benchmark_polymul(other, algo, batch=BATCHES[0], iters=ITERS)
+            print(f"# {r.line()}", file=sys.stderr)
+        except Exception as e:
+            print(f"# {other} failed: {e}", file=sys.stderr)
     for candidate, batch in configs:
         try:
             r = benchmark_polymul(PARAM_SET, candidate, batch=batch,

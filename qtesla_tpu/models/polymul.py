@@ -39,12 +39,19 @@ def _tables(ps) -> NttTables:
 # ----------------------------------------------------------------------
 
 def ntt(x, ps, algo: str = "merged"):
-    """Forward negacyclic NTT. 'merged': nat -> rev, psi in twiddles."""
+    """Forward negacyclic NTT. 'merged': nat -> rev, psi in twiddles;
+    'fused'/'mxu' are the Pallas kernels with identical output order."""
     tbl = _tables(ps)
     if algo == "merged":
         return N.ntt_fwd_merged(x, tbl)
     if algo == "stockham":
         return N.stockham_fwd(N.weight_psi(x, tbl), tbl)
+    if algo == "fused":
+        from ..ops.ntt_pallas import ntt_fused_fn
+        return ntt_fused_fn(tbl.ps.name)(x)
+    if algo == "mxu":
+        from ..ops.ntt_mxu import ntt_mxu_fn
+        return ntt_mxu_fn(tbl.ps.name)(x)
     raise ValueError(f"unknown ntt algo {algo!r}")
 
 
@@ -56,6 +63,12 @@ def intt(X, ps, algo: str = "merged"):
     if algo == "stockham":
         return N.weight_ipsi_ninv(N.stockham_inv(X, tbl, scale_ninv=False),
                                   tbl)
+    if algo == "fused":
+        from ..ops.ntt_pallas import intt_fused_fn
+        return intt_fused_fn(tbl.ps.name)(X)
+    if algo == "mxu":
+        from ..ops.ntt_mxu import intt_mxu_fn
+        return intt_mxu_fn(tbl.ps.name)(X)
     raise ValueError(f"unknown intt algo {algo!r}")
 
 
