@@ -3,5 +3,6 @@ from .polymul import (  # noqa: F401
     intt,
     ntt,
     polymul_negacyclic,
+    polymul_fixed_fn,
     polymul_fn,
 )

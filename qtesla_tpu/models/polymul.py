@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops import ntt as N
 from ..ops.tables import NttTables, get_tables
-from ..params import ParamSet, get_params
+from ..params import ParamSet
 
 
 def _tables(ps) -> NttTables:
@@ -190,6 +190,28 @@ def polymul_fn(name: str, algo: str = "merged"):
             f"{sorted(ALGORITHMS) + ['fused', 'mxu', 'nussbaumer']}"
         ) from None
     return jax.jit(functools.partial(pipeline, tbl=tbl))
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_fixed_fn(name: str, algo: str = "mxu"):
+    """(prepare, multiply) pair for fixed-operand products z = x * a with a
+    constant polynomial a (the qTESLA verification shape: a is the public
+    polynomial).  prepare(a) -> spectrum A (run once); multiply(x, A) ->
+    (B, n) products, costing one forward + one inverse transform each (the
+    streamed-both-operands pipelines pay two forwards)."""
+    tbl = get_tables(name)
+    if algo == "mxu":
+        from ..ops.ntt_mxu import ntt_mxu_fn, polymul_fixed_mxu_fn
+        return ntt_mxu_fn(name), polymul_fixed_mxu_fn(name)
+    if algo == "merged":
+        prep = jax.jit(functools.partial(N.ntt_fwd_merged, tbl=tbl))
+
+        def mul(x, A):
+            X = N.ntt_fwd_merged(x, tbl)
+            return N.intt_inv_merged(N.pointwise_mul(X, A, tbl), tbl)
+
+        return prep, jax.jit(mul)
+    raise ValueError(f"unknown fixed-operand algo {algo!r}")
 
 
 def polymul_negacyclic(x, y, ps, algo: str = "merged"):

@@ -46,7 +46,8 @@ from .modmul import fast_reduce_2q, shoup_mulmod_sloppy, widemul32
 from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
-__all__ = ["polymul_mxu_fn", "ntt_mxu_fn", "intt_mxu_fn", "get_mxu_tables"]
+__all__ = ["polymul_mxu_fn", "polymul_fixed_mxu_fn", "ntt_mxu_fn",
+           "intt_mxu_fn", "get_mxu_tables"]
 
 _BIAS = 1 << 24          # additive bias making int32 partial sums positive
 _BW_MAX = 128            # block width = one vreg of lanes
@@ -542,6 +543,61 @@ def polymul_mxu_fn(name: str, tile_b: int | None = None,
 
     def fn(x, y):
         return run(jnp.asarray(x, jnp.uint32), jnp.asarray(y, jnp.uint32))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
+                         interpret: bool = False):
+    """Jitted fixed-operand negacyclic polymul: (B, n) x spectrum (n,) ->
+    (B, n).  The second operand's forward NTT is precomputed once (use
+    ntt_mxu_fn / models.ntt), so each product costs one forward + one
+    inverse transform and streams only x and z — the qTESLA
+    verification-shaped workload (fixed public polynomial a)."""
+    mt = get_mxu_tables(name)
+    names, arrs, specs = _table_inputs(mt, True, True)
+    n = mt.n
+
+    def kernel(*refs):
+        x_ref, yspec_ref = refs[0], refs[1]
+        z_ref = refs[-1]
+        tab = dict(zip(names, refs[2:-1]))
+        X = _fwd_mxu(_split_blocks(x_ref, mt), tab, mt)
+        Z = [_pointwise(xb, yspec_ref[:, b * mt.bw:(b + 1) * mt.bw], mt)
+             for b, xb in enumerate(X)]
+        _store_blocks(z_ref, _inv_mxu(Z, tab, mt), mt)
+
+    tile_b = _tile_b(mt, tile_b)
+
+    def run(x, yspec):
+        B = x.shape[0]
+        pad = (-B) % tile_b
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        Bp = B + pad
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tile_b,),
+            in_specs=[pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, n), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] + specs,
+            out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
+            interpret=interpret,
+            **kwargs,
+        )(x, yspec, *arrs)
+        return out[:B] if pad else out
+
+    def fn(x, yspec):
+        return run(jnp.asarray(x, jnp.uint32),
+                   jnp.asarray(yspec, jnp.uint32).reshape(1, n))
 
     return jax.jit(fn)
 

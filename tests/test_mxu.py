@@ -91,3 +91,31 @@ def test_mxu_polymul_adversarial_operands(name):
     z = np.asarray(polymul_mxu_fn(name, interpret=True)(x, y))
     want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
     np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_polymul_fixed_operand(rng, name):
+    """Fixed-operand product (precomputed spectrum for the constant side)
+    matches the streamed two-operand pipeline bit-exactly."""
+    from qtesla_tpu.ops.ntt_mxu import ntt_mxu_fn, polymul_fixed_mxu_fn
+    ps = get_params(name)
+    a = rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    A = np.asarray(ntt_mxu_fn(name, interpret=True)(a))
+    z = np.asarray(polymul_fixed_mxu_fn(name, interpret=True)(x, A[0]))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+def test_polymul_fixed_fn_merged(rng):
+    """The jnp fixed-operand pair (CPU-testable) matches the pipelines."""
+    from qtesla_tpu.models import polymul_fixed_fn
+    ps = get_params("qtesla-iii-speed")
+    prep, mul = polymul_fixed_fn(ps.name, "merged")
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    z = np.asarray(mul(x, prep(a)))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
