@@ -114,6 +114,24 @@ def cmd_speed(args) -> int:
     from .utils.timing import benchmark_polymul
     print(f"backend: {jax.default_backend()}")
     print(_parameter_banner(args.param_set))
+    if getattr(args, "fixed", False):
+        import jax.numpy as jnp
+        from .models import polymul_fixed_fn
+        from .params import get_params
+        from .utils.timing import measure
+        ps = get_params(args.param_set)
+        rng = np.random.default_rng(args.seed)
+        algo = args.algo if args.algo != "all" else "mxu"
+        prep, mul = polymul_fixed_fn(ps.name, algo)
+        A = prep(jnp.asarray(
+            rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
+        x = jnp.asarray(rng.integers(0, ps.q, (args.batch, ps.n),
+                                     dtype=np.uint32))
+        r = measure(lambda _, c: mul(c, A), x, x, warmup=2,
+                    iters=args.iters, items_per_iter=args.batch, chain=True,
+                    name=f"polymul_fixed[{ps.name},{algo},B={args.batch}]")
+        print("  " + r.line())
+        return 0
     out = []
     for algo in _algos(args.algo):
         r = benchmark_polymul(args.param_set, algo, batch=args.batch,
@@ -238,6 +256,9 @@ def main(argv=None) -> int:
     s = sub.add_parser("speed", help="steady-state throughput benchmark")
     common(s, 4096)
     s.add_argument("--iters", type=int, default=20)
+    s.add_argument("--fixed", action="store_true",
+                   help="fixed-operand workload (constant polynomial, "
+                        "precomputed spectrum)")
     s.add_argument("--json", action="store_true")
     s.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
