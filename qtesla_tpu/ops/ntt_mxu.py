@@ -476,11 +476,14 @@ def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
 
     def run(*tensors):
         B = tensors[0].shape[0]
-        pad = (-B) % tile_b
+        # small batches use a smaller tile instead of padding up to the
+        # full one (the reference's shipped config is BATCH=2, main.cuh:7)
+        tb = min(tile_b, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tb
         if pad:
             tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
         Bp = B + pad
-        tens_specs = [pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+        tens_specs = [pl.BlockSpec((tb, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for _ in range(num_tensor_in)]
         kwargs = {}
@@ -492,9 +495,9 @@ def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
                 vmem_limit_bytes=64 * 1024 * 1024)
         out = pl.pallas_call(
             kernel,
-            grid=(Bp // tile_b,),
+            grid=(Bp // tb,),
             in_specs=tens_specs + tab_specs,
-            out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,
@@ -572,7 +575,8 @@ def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
 
     def run(x, yspec):
         B = x.shape[0]
-        pad = (-B) % tile_b
+        tb = min(tile_b, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tb
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)))
         Bp = B + pad
@@ -582,12 +586,12 @@ def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
                 vmem_limit_bytes=64 * 1024 * 1024)
         out = pl.pallas_call(
             kernel,
-            grid=(Bp // tile_b,),
-            in_specs=[pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+            grid=(Bp // tb,),
+            in_specs=[pl.BlockSpec((tb, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, n), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)] + specs,
-            out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,
