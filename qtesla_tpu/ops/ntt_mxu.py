@@ -6,25 +6,30 @@ butterfly data movement (lane rolls + selects) and the rest 32-bit Shoup
 multiplies, both on the vector unit.  This variant moves almost all of that
 onto the MXU, the unit with ~100x the int multiply-accumulate throughput:
 
-- The first `Lr = log2(n) - 7` forward stages (pair distance >= 128) stay as
-  cheap vreg-aligned lane rolls (distances are multiples of the 128-lane
-  vreg width).
+- Data lives as a LIST of (tile_b, 128) vreg tiles.  The first
+  `Lr = log2(n) - 7` forward stages (pair distance >= 128) pair whole
+  tiles, so they are pure list regrouping with per-butterfly scalar Shoup
+  twiddles baked into the instruction stream.
 - The remaining 7 stages act independently inside each aligned 128-lane
   block (pair distance < 128 never crosses a block), so their composition is
   a block-diagonal linear map: one exact 128x128 matrix per block, derived
   offline by running the stage recurrences of the merged-psi CT forward /
   GS inverse (same tables as ntt_pallas, so results are bit-identical) over
   the identity basis in int64 mod q.
-- Each matmul runs on the MXU in int8 with balanced base-256 digits:
-  operands x are centered (|x - q//2| <= q/2) and split into D signed
-  digits; the CONSTANT matrices absorb the basis weights 2^{8i} *before*
-  their own digit split (W^(i) = 2^{8i} W mod q), so one (TB,128) x
-  (128, Dw*128) int8 matmul per (block, digit) yields partial sums c_j with
-  out = sum_j 2^{8j} c_j + const (mod q) — recombination is only Dw-1 Shoup
-  multiplies per coefficient instead of a 10-stage butterfly chain.
+- Each matmul runs on the MXU in int8 with balanced base-256 digits
+  (biased-byte extraction); the CONSTANT matrices absorb the basis weights
+  2^{8i} *before* their own digit split (W^(i) = 2^{8i} W mod q), so one
+  (TB,128) x (128, D*128) int8 matmul per (block, digit) yields partial
+  sums c_j with out = sum_j 2^{8j} c_j + const (mod q).  Recombination
+  Horner-packs the classes into provably int32-exact groups: ONE Shoup
+  multiply per coefficient at n=1024 instead of a 10-stage butterfly chain.
 - The inverse mirrors it: per-block inverse matmul (stages with distance
-  < 128, i.e. the first 7 GS-inverse stages) followed by Lr inverse roll
-  stages, whose last stage carries n^{-1} and canonicalizes.
+  < 128, i.e. the first 7 GS-inverse stages) followed by Lr inverse wide
+  stages, whose last carries n^{-1} and canonicalizes.
+- Worst-case magnitudes are tracked as python ints at trace time; values
+  stay lazy (unreduced) until a uint32 bound would overflow, constant
+  multiplies use sloppy (carry-free) Shoup products, and sparse q get a
+  multiply-free shift-add reduction (modmul.fast_reduce_2q).
 
 Replaces the same reference code paths as ntt_pallas.py (the per-stage
 kernel pipelines, NTT.cu:2034-2081) but maps the FLOPs onto the TPU's
