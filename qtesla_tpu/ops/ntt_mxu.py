@@ -513,6 +513,17 @@ def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
     return run
 
 
+def _flatten_batch(run, n: int):
+    """Wrap a (B, n)->(B, n) runner to accept arbitrary leading axes
+    (including none), matching the jnp pipelines' batching contract."""
+    def fn(*tensors):
+        shape = tensors[0].shape
+        flat = tuple(v.reshape(-1, n) for v in tensors)
+        out = run(*flat)
+        return out.reshape(shape)
+    return fn
+
+
 def _tile_b(mt: MxuTables, requested: int | None) -> int:
     if requested:
         return requested
@@ -546,8 +557,8 @@ def polymul_mxu_fn(name: str, tile_b: int | None = None,
         Z = [_pointwise(xb, yb, mt) for xb, yb in zip(X, Y)]
         _store_blocks(z_ref, _inv_mxu(Z, tab, mt), mt)
 
-    run = _make_runner(kernel, mt, 2, names, arrs, specs,
-                       _tile_b(mt, tile_b), interpret)
+    run = _flatten_batch(_make_runner(kernel, mt, 2, names, arrs, specs,
+                                      _tile_b(mt, tile_b), interpret), mt.n)
 
     def fn(x, y):
         return run(jnp.asarray(x, jnp.uint32), jnp.asarray(y, jnp.uint32))
@@ -605,8 +616,11 @@ def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
         return out[:B] if pad else out
 
     def fn(x, yspec):
-        return run(jnp.asarray(x, jnp.uint32),
-                   jnp.asarray(yspec, jnp.uint32).reshape(1, n))
+        x = jnp.asarray(x, jnp.uint32)
+        shape = x.shape
+        out = run(x.reshape(-1, n),
+                  jnp.asarray(yspec, jnp.uint32).reshape(1, n))
+        return out.reshape(shape)
 
     return jax.jit(fn)
 
@@ -625,8 +639,8 @@ def ntt_mxu_fn(name: str, tile_b: int | None = None,
         X = [_csub(_reduce_2q(xb, mt), mt.q) for xb in X]
         _store_blocks(out_ref, X, mt)
 
-    run = _make_runner(kernel, mt, 1, names, arrs, specs,
-                       _tile_b(mt, tile_b), interpret)
+    run = _flatten_batch(_make_runner(kernel, mt, 1, names, arrs, specs,
+                                      _tile_b(mt, tile_b), interpret), mt.n)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))
 
 
@@ -643,6 +657,6 @@ def intt_mxu_fn(name: str, tile_b: int | None = None,
         _store_blocks(out_ref, _inv_mxu(_split_blocks(x_ref, mt), tab, mt),
                       mt)
 
-    run = _make_runner(kernel, mt, 1, names, arrs, specs,
-                       _tile_b(mt, tile_b), interpret)
+    run = _flatten_batch(_make_runner(kernel, mt, 1, names, arrs, specs,
+                                      _tile_b(mt, tile_b), interpret), mt.n)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))

@@ -135,6 +135,8 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
     tables = tuple(jnp.asarray(t) for t in tables)
 
     def run(*tensors):
+        shape = tensors[0].shape
+        tensors = tuple(v.reshape(-1, n) for v in tensors)
         B = tensors[0].shape[0]
         pad = (-B) % tile_b
         if pad:
@@ -155,7 +157,8 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,
         )(*tensors, *tables)
-        return out[:B] if pad else out
+        out = out[:B] if pad else out
+        return out.reshape(shape)
 
     return run
 

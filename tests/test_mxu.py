@@ -119,3 +119,17 @@ def test_polymul_fixed_fn_merged(rng):
     want = np.asarray(polymul_negacyclic(
         x, np.broadcast_to(a, x.shape), ps, algo="merged"))
     np.testing.assert_array_equal(z, want)
+
+
+def test_mxu_leading_axes(rng):
+    """Pallas kernels accept arbitrary leading batch axes (and rank-1),
+    matching the jnp pipelines' batching contract."""
+    ps = get_params("smallprime")
+    x = rng.integers(0, ps.q, (2, 3, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (2, 3, ps.n), dtype=np.uint32)
+    want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    z = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)
+    z1 = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(
+        x[0, 0], y[0, 0]))
+    np.testing.assert_array_equal(z1, want[0, 0])
