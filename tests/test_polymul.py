@@ -79,3 +79,42 @@ def test_unknown_algo_raises():
     x = np.ones((1, ps.n), dtype=np.uint32)
     with pytest.raises(ValueError, match="unknown algorithm"):
         polymul_negacyclic(x, x, ps, algo="does-not-exist")
+
+
+def test_differential_fuzz_vs_native_oracle(rng):
+    """Differential fuzz: random (param set, algorithm, batch, operand
+    distribution) configurations against the native C++ schoolbook oracle
+    (falls back to the big-int numpy oracle when csrc isn't built)."""
+    from qtesla_tpu.utils import native
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+
+    cases = []
+    sets = ["smallprime", "qtesla-i", "qtesla-iii-speed", "qtesla-p-i"]
+    algos = ["merged", "gs_ct", "ct_ct", "gs_gs", "ct_gs", "stockham",
+             "four_step", "matrix"]
+    for k in range(12):
+        cases.append((sets[int(rng.integers(len(sets)))],
+                      algos[int(rng.integers(len(algos)))],
+                      int(rng.integers(1, 5))))
+    for name, algo, B in cases:
+        ps = get_params(name)
+        mode = int(rng.integers(3))
+        if mode == 0:                       # uniform
+            x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+            y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        elif mode == 1:                     # extremal
+            x = np.full((B, ps.n), ps.q - 1, dtype=np.uint32)
+            y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        else:                               # sparse (signature-like)
+            x = np.zeros((B, ps.n), dtype=np.uint32)
+            idx = rng.integers(0, ps.n, 30)
+            x[:, idx] = rng.integers(0, ps.q, (B, 30), dtype=np.uint32)
+            y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        z = np.asarray(polymul_negacyclic(x, y, ps, algo=algo))
+        if native.native_available():
+            want = native.negacyclic_schoolbook(x, y, ps.q)
+        else:
+            want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                             for b in range(B)]).astype(np.uint32)
+        np.testing.assert_array_equal(
+            z, want, err_msg=f"{name}/{algo}/B={B}/mode={mode}")
