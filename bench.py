@@ -31,15 +31,15 @@ ITERS = 400
 
 
 def pick_algo() -> str:
-    """Prefer the MXU int8-matmul kernel, then the roll-based fused Pallas
-    kernel, then the XLA merged pipeline."""
-    from qtesla_tpu.models import polymul_fn
-    for algo in ("mxu", "fused"):
-        try:
-            polymul_fn(PARAM_SET, algo)
-            return algo
-        except Exception:
-            continue
+    """Prefer the MXU int8-matmul kernel on TPU; the Pallas kernels only
+    compile for TPU (polymul_fn construction is lazy, so a try/except
+    around it cannot detect backend support)."""
+    import jax
+    try:
+        if jax.default_backend() == "tpu":
+            return "mxu"
+    except Exception:
+        pass
     return "merged"
 
 
@@ -49,17 +49,6 @@ def main() -> int:
     algo = pick_algo()
     best = None
     configs = [(algo, b) for b in BATCHES]
-    if algo == "mxu":
-        configs.append(("fused", BATCHES[0]))    # comparison point
-    if algo != "merged":
-        configs.append(("merged", BATCHES[0]))   # fallback / comparison point
-    # the other qTESLA sets (n = 512 / 1024 / 2048), stderr diagnostics only
-    for other in ("qtesla-i", "qtesla-p-i", "qtesla-p-iii"):
-        try:
-            r = benchmark_polymul(other, algo, batch=BATCHES[0], iters=ITERS)
-            print(f"# {r.line()}", file=sys.stderr)
-        except Exception as e:
-            print(f"# {other} failed: {e}", file=sys.stderr)
     for candidate, batch in configs:
         try:
             r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
@@ -74,15 +63,33 @@ def main() -> int:
         print(json.dumps({"metric": "polymul_throughput", "value": 0,
                           "unit": "polymuls/s/chip", "vs_baseline": 0}))
         return 1
-    algo, batch, r = best
+    best_algo, batch, r = best
     value = r.throughput_best          # min-time based; see timing.py
+    # the driver's contract (ONE JSON line) is satisfied before any
+    # optional diagnostics run
     print(json.dumps({
         "metric": f"negacyclic polymuls/s/chip (n=1024, q=8404993, "
-                  f"batch={batch}, algo={algo})",
+                  f"batch={batch}, algo={best_algo})",
         "value": round(value, 1),
         "unit": "polymuls/s/chip",
         "vs_baseline": round(value / REFERENCE_ESTIMATE, 3),
-    }))
+    }), flush=True)
+    # stderr diagnostics: algorithm comparison points + the other qTESLA
+    # sets (n = 512 / 1024 / 2048)
+    extras = []
+    if algo == "mxu":
+        extras.append((PARAM_SET, "fused"))
+    if algo != "merged":
+        extras.append((PARAM_SET, "merged"))
+    extras += [(s, algo) for s in ("qtesla-i", "qtesla-p-i",
+                                   "qtesla-p-iii")]
+    for pset, candidate in extras:
+        try:
+            r = benchmark_polymul(pset, candidate, batch=BATCHES[0],
+                                  iters=ITERS)
+            print(f"# {r.line()}", file=sys.stderr)
+        except Exception as e:
+            print(f"# {pset}/{candidate} failed: {e}", file=sys.stderr)
     return 0
 
 

@@ -121,16 +121,31 @@ def cmd_speed(args) -> int:
         from .utils.timing import measure
         ps = get_params(args.param_set)
         rng = np.random.default_rng(args.seed)
-        algo = args.algo if args.algo != "all" else "mxu"
-        prep, mul = polymul_fixed_fn(ps.name, algo)
-        A = prep(jnp.asarray(
-            rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
-        x = jnp.asarray(rng.integers(0, ps.q, (args.batch, ps.n),
-                                     dtype=np.uint32))
-        r = measure(lambda _, c: mul(c, A), x, x, warmup=2,
-                    iters=args.iters, items_per_iter=args.batch, chain=True,
-                    name=f"polymul_fixed[{ps.name},{algo},B={args.batch}]")
-        print("  " + r.line())
+        # fixed-operand pairs exist for 'mxu' (TPU) and 'merged';
+        # 'all'/comma lists are filtered the same way the CPU guard works
+        fixed_algos = [a for a in _algos(args.algo) if a in ("mxu",
+                                                             "merged")]
+        if not fixed_algos:
+            fixed_algos = ["merged"]
+        out = []
+        for algo in fixed_algos:
+            prep, mul = polymul_fixed_fn(ps.name, algo)
+            A = prep(jnp.asarray(
+                rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
+            x = jnp.asarray(rng.integers(0, ps.q, (args.batch, ps.n),
+                                         dtype=np.uint32))
+            r = measure(lambda _, c, mul=mul, A=A: mul(c, A), x, x,
+                        warmup=2, iters=args.iters,
+                        items_per_iter=args.batch, chain=True,
+                        trace_dir=args.trace_dir,
+                        name=f"polymul_fixed[{ps.name},{algo},"
+                             f"B={args.batch}]")
+            out.append({"algo": f"fixed/{algo}", "batch": args.batch,
+                        "ms_per_iter": r.mean_ms,
+                        "polymuls_per_s": r.throughput})
+            print("  " + r.line())
+        if args.json:
+            print(json.dumps(out))
         return 0
     out = []
     for algo in _algos(args.algo):

@@ -476,10 +476,17 @@ def _table_inputs(mt: MxuTables, want_fwd: bool, want_inv: bool):
 
 
 def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
-                 tab_specs, tile_b: int, interpret: bool):
+                 tab_specs, tile_b: int, interpret: bool,
+                 num_bcast_in: int = 0):
+    """Batch-tiled pallas_call runner.  The first `num_tensor_in` arguments
+    are (B, n) operands tiled over the grid; the next `num_bcast_in` are
+    (1, n) rows broadcast to every tile (fixed-operand spectra); the
+    precomputed tables follow."""
     n = mt.n
 
     def run(*tensors):
+        bcast = tensors[num_tensor_in:]
+        tensors = tensors[:num_tensor_in]
         B = tensors[0].shape[0]
         # small batches use a smaller tile instead of padding up to the
         # full one (the reference's shipped config is BATCH=2, main.cuh:7)
@@ -491,6 +498,9 @@ def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
         tens_specs = [pl.BlockSpec((tb, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for _ in range(num_tensor_in)]
+        tens_specs += [pl.BlockSpec((1, n), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(num_bcast_in)]
         kwargs = {}
         if not interpret:
             # the resident digit tables are double-buffered by the pipeline;
@@ -507,7 +517,7 @@ def _make_runner(kernel, mt: MxuTables, num_tensor_in: int, names, arrs,
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,
             **kwargs,
-        )(*tensors, *arrs)
+        )(*tensors, *bcast, *arrs)
         return out[:B] if pad else out
 
     return run
@@ -528,9 +538,11 @@ def _tile_b(mt: MxuTables, requested: int | None) -> int:
     if requested:
         return requested
     # Fit tile-dependent buffers (x/y/z + lazy temps + digit planes,
-    # ~32 bytes/coeff empirically) plus the resident digit tables in the
-    # ~16 MB VMEM budget.  tile_b=256 measured fastest for n=1024 on v5e
-    # (sweep 64..512, 2026-08).
+    # ~32 bytes/coeff empirically) plus the resident digit tables in a
+    # 20 MB working budget (the compiler cap is raised to 64 MB in
+    # _make_runner; 20 MB lands on the measured-optimal tiles: 256 for
+    # n<=1024, 128 for n=2048).  tile_b=256 measured fastest for n=1024
+    # on v5e (sweep 64..512, 2026-08).
     tables = 2 * mt.nb * mt.D * mt.bw * (mt.D * mt.bw)
     cap = (20 * 1024 * 1024 - tables) // (32 * mt.n)
     tb = 8
@@ -587,33 +599,8 @@ def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
              for b, xb in enumerate(X)]
         _store_blocks(z_ref, _inv_mxu(Z, tab, mt), mt)
 
-    tile_b = _tile_b(mt, tile_b)
-
-    def run(x, yspec):
-        B = x.shape[0]
-        tb = min(tile_b, max(8, 1 << (B - 1).bit_length()))
-        pad = (-B) % tb
-        if pad:
-            x = jnp.pad(x, ((0, pad), (0, 0)))
-        Bp = B + pad
-        kwargs = {}
-        if not interpret:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024)
-        out = pl.pallas_call(
-            kernel,
-            grid=(Bp // tb,),
-            in_specs=[pl.BlockSpec((tb, n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, n), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)] + specs,
-            out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
-            interpret=interpret,
-            **kwargs,
-        )(x, yspec, *arrs)
-        return out[:B] if pad else out
+    run = _make_runner(kernel, mt, 1, names, arrs, specs,
+                       _tile_b(mt, tile_b), interpret, num_bcast_in=1)
 
     def fn(x, yspec):
         x = jnp.asarray(x, jnp.uint32)

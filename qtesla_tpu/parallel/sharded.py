@@ -40,12 +40,23 @@ __all__ = ["polymul_dp_fn", "polymul_fourstep_sharded_fn",
 def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
     """Pure batch data-parallelism: the whole pipeline replicated, batch
     sharded over every mesh device (the reference's one-block-per-polynomial
-    batching, scaled across chips).  XLA inserts no collectives at all.
-    Works for every algo, including the Pallas kernels ('fused', 'mxu') —
-    each shard runs the single-chip kernel on its local batch."""
+    batching, scaled across chips); no collectives.
+
+    jnp pipelines go through jit+GSPMD.  The Pallas kernels ('fused',
+    'mxu') are wrapped in shard_map instead: a pallas_call has no SPMD
+    partitioning rule, so GSPMD would otherwise all-gather the batch and
+    run it replicated — shard_map guarantees each device runs the
+    single-chip kernel on exactly its local batch shard."""
     from ..models import polymul_fn
     pipeline = polymul_fn(name, algo)
-    spec = NamedSharding(mesh, P(("data", "model")))
+    pspec = P(("data", "model"))
+    if algo in ("fused", "mxu"):
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation
+        return jax.jit(jax.shard_map(pipeline, mesh=mesh,
+                                     in_specs=(pspec, pspec),
+                                     out_specs=pspec, check_vma=False))
+    spec = NamedSharding(mesh, pspec)
     return jax.jit(pipeline, in_shardings=(spec, spec), out_shardings=spec)
 
 

@@ -28,7 +28,7 @@ def test_mxu_polymul_bit_exact(rng, name):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed"])
+@pytest.mark.parametrize("name", SETS)
 def test_mxu_transforms_match_merged(rng, name):
     import jax
     import jax.numpy as jnp
@@ -133,3 +133,44 @@ def test_mxu_leading_axes(rng):
     z1 = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(
         x[0, 0], y[0, 0]))
     np.testing.assert_array_equal(z1, want[0, 0])
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_fixed_accepts_merged_spectrum(rng, name):
+    """Mixed-algo interchangeability: a spectrum prepared with the jnp
+    merged forward NTT feeds the MXU fixed-operand kernel (the docstrings
+    advertise identical spectral order)."""
+    import jax
+    import jax.numpy as jnp
+    from qtesla_tpu.ops.ntt_mxu import polymul_fixed_mxu_fn
+    tbl = get_tables(name)
+    ps = get_params(name)
+    a = rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    A = np.asarray(jax.jit(
+        lambda v: N.ntt_fwd_merged(v, tbl))(jnp.asarray(a)))
+    z = np.asarray(polymul_fixed_mxu_fn(name, interpret=True)(x, A[0]))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+def test_mxu_dp_shard_map_interpret(rng):
+    """The shard_map DP wrapping used by polymul_dp_fn for Pallas algos,
+    validated on the virtual CPU mesh with the interpret-mode kernel:
+    every shard computes exactly its local batch."""
+    import jax
+    from qtesla_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+    ps = get_params("smallprime")
+    mesh = make_mesh(data=4, model=2)
+    kernel = polymul_mxu_fn("smallprime", interpret=True)
+    fn = jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(("data", "model")), P(("data", "model"))),
+        out_specs=P(("data", "model")), check_vma=False))
+    x = rng.integers(0, ps.q, (16, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (16, ps.n), dtype=np.uint32)
+    z = np.asarray(fn(x, y))
+    want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
