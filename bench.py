@@ -49,7 +49,14 @@ def main() -> int:
     algo = pick_algo()
     best = None
     configs = [(algo, b) for b in BATCHES]
+    # fallback ladder: if every config of the preferred algorithm fails,
+    # try the next algorithm before reporting zero
+    for fb in ("fused", "merged"):
+        if fb != algo:
+            configs.append((fb, BATCHES[0]))
     for candidate, batch in configs:
+        if best is not None and candidate != algo:
+            continue                 # fallbacks only engage on total failure
         try:
             r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
                                   iters=ITERS)

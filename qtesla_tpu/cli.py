@@ -100,11 +100,16 @@ def cmd_correctness(args) -> int:
         failures += (not ok)
         print(f"  {algo:10s} vs {oracle_name}: "
               f"{'Identical.' if ok else 'INCORRECT RESULT'}")
+    # known-answer fixture per requested algorithm (reference NTT.cu:1822:
+    # all-ones operands whose negacyclic square has a closed form)
     ones = np.ones((1, ps.n), dtype=np.uint32)
-    z1 = np.asarray(polymul_negacyclic(ones, ones, ps))
-    ok = (z1[0].astype(np.uint64) == all_ones_square_closed_form(ps)).all()
-    failures += (not ok)
-    print(f"  all-ones closed form: {'Identical.' if ok else 'INCORRECT'}")
+    want1 = all_ones_square_closed_form(ps)
+    for algo in _algos(args.algo):
+        z1 = np.asarray(polymul_negacyclic(ones, ones, ps, algo=algo))
+        ok = (z1[0].astype(np.uint64) == want1).all()
+        failures += (not ok)
+        print(f"  {algo:10s} all-ones closed form: "
+              f"{'Identical.' if ok else 'INCORRECT'}")
     return 1 if failures else 0
 
 
@@ -123,10 +128,14 @@ def cmd_speed(args) -> int:
         rng = np.random.default_rng(args.seed)
         # fixed-operand pairs exist for 'mxu' (TPU) and 'merged';
         # 'all'/comma lists are filtered the same way the CPU guard works
-        fixed_algos = [a for a in _algos(args.algo) if a in ("mxu",
-                                                             "merged")]
+        requested = _algos(args.algo)
+        fixed_algos = [a for a in requested if a in ("mxu", "merged")]
+        for a in requested:
+            if a not in fixed_algos:
+                print(f"  {a:10s} SKIP (no fixed-operand variant; "
+                      "available: mxu, merged)")
         if not fixed_algos:
-            fixed_algos = ["merged"]
+            return 1
         out = []
         for algo in fixed_algos:
             prep, mul = polymul_fixed_fn(ps.name, algo)

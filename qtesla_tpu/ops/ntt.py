@@ -43,6 +43,7 @@ __all__ = [
     "stockham_fwd", "stockham_inv",
     "matrix_ntt", "fourstep_ntt", "fourstep_intt",
     "bitrev_permute", "pointwise_mul", "weight_psi", "weight_ipsi_ninv",
+    "weight_ipsi",
 ]
 
 
@@ -305,12 +306,9 @@ def fourstep_ntt(x, tbl: NttTables, n1: int = 32, inverse: bool = False):
     v = shoup_mulmod(v, jnp.asarray(W), jnp.asarray(Wsh), q)
     v = _small_ntt_last_axis(v, t2, inverse)        # (..., k1, k2)
     v = jnp.swapaxes(v, -1, -2)                     # (..., k2, k1): k = k2*n1+k1
-    out = v.reshape(*batch, n)
-    if inverse:
-        # undo the doubled n1^{-1}*n2^{-1} scaling? (each sub-inverse already
-        # applied its own length^{-1}; n1^{-1}*n2^{-1} = n^{-1} exactly)
-        pass
-    return out
+    # (inverse scaling invariant: each sub-inverse applies its own
+    # length^{-1}, and n1^{-1} * n2^{-1} == n^{-1} exactly — no extra factor)
+    return v.reshape(*batch, n)
 
 
 def fourstep_intt(X, tbl: NttTables, n1: int = 32):

@@ -138,11 +138,14 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
         shape = tensors[0].shape
         tensors = tuple(v.reshape(-1, n) for v in tensors)
         B = tensors[0].shape[0]
-        pad = (-B) % tile_b
+        # small batches use a smaller tile instead of padding up to the
+        # full one (mirrors ntt_mxu._make_runner)
+        tile = min(tile_b, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tile
         if pad:
             tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
         Bp = B + pad
-        tens_specs = [pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+        tens_specs = [pl.BlockSpec((tile, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for _ in range(num_tensor_in)]
         tab_specs = [pl.BlockSpec((L, n), lambda i: (0, 0),
@@ -150,9 +153,9 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
                      for _ in range(len(tables))]
         out = pl.pallas_call(
             kernel,
-            grid=(Bp // tile_b,),
+            grid=(Bp // tile,),
             in_specs=tens_specs + tab_specs,
-            out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,

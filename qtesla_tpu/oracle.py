@@ -28,6 +28,7 @@ __all__ = [
     "ring_u32_modmul",
     "ring_u32_modadd",
     "ring_u32_modsub",
+    "negacyclic_schoolbook_ring",
 ]
 
 

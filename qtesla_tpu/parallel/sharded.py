@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -62,24 +61,19 @@ def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
 
 @functools.lru_cache(maxsize=None)
 def _fourstep_tables(name: str, n1: int):
-    """numpy tables shaped (n1, n2) for the sharded pipeline."""
+    """numpy tables shaped (n1, n2) for the sharded pipeline (reuses the
+    single-chip four-step twiddle construction and the Shoup companions
+    already shipped by the tables layer)."""
+    from ..ops.ntt import _fourstep_twiddle
     tbl = get_tables(name)
-    n, q = tbl.n, tbl.q
-    n2 = n // n1
-    tf = tbl.ps.omega_powers(n).astype(object)
-    ti = tbl.ps.omega_powers(n, inverse=True).astype(object)
-    idx = np.outer(np.arange(n1), np.arange(n2)) % n
-    W = tf[idx].astype(np.uint32)
-    Winv = ti[idx].astype(np.uint32)
-
-    def sh(a):
-        return ((a.astype(object) << 32) // q).astype(np.uint32)
-
-    phi2d = tbl.phi.reshape(n1, n2)
-    ipsi2d = tbl.ipsi_pow.reshape(n1, n2)
-    return dict(W=W, W_sh=sh(W), Winv=Winv, Winv_sh=sh(Winv),
-                phi=phi2d, phi_sh=sh(phi2d),
-                ipsi=ipsi2d, ipsi_sh=sh(ipsi2d))
+    n2 = tbl.n // n1
+    W, W_sh = _fourstep_twiddle(name, n1, inverse=False)
+    Winv, Winv_sh = _fourstep_twiddle(name, n1, inverse=True)
+    return dict(W=W, W_sh=W_sh, Winv=Winv, Winv_sh=Winv_sh,
+                phi=tbl.phi.reshape(n1, n2),
+                phi_sh=tbl.phi_shoup.reshape(n1, n2),
+                ipsi=tbl.ipsi_pow.reshape(n1, n2),
+                ipsi_sh=tbl.ipsi_pow_shoup.reshape(n1, n2))
 
 
 def _ntt_axis(v, sub, inverse: bool, axis: int):
@@ -152,7 +146,6 @@ def _build(name: str, mesh: Mesh, n1: int | None, with_weighting: bool = True):
         )(z3, T["Winv"], T["Winv_sh"], T["ipsi"], T["ipsi_sh"])
 
     def pointwise(X3, Y3):
-        ps = tbl.ps
         return jax.shard_map(
             lambda a, b: N.pointwise_mul(a, b, tbl),
             mesh=mesh, in_specs=(spect, spect), out_specs=spect,

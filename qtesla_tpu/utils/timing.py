@@ -67,11 +67,19 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
     """
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    if warmup:
+        jax.block_until_ready(out)
     times = []
-    ctx = (jax.profiler.trace(trace_dir) if trace_dir else None)
-    if ctx:
-        ctx.__enter__()
+    ctx = None
+
+    def _trace_on():
+        # entered only AFTER compilation so the profile shows steady-state
+        # device execution, not one giant compile
+        nonlocal ctx
+        if trace_dir:
+            ctx = jax.profiler.trace(trace_dir)
+            ctx.__enter__()
+
     try:
         if chain:
             import numpy as _np
@@ -98,11 +106,14 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
                 _ = _np.asarray(leaf.reshape(-1)[:1])
 
             _run()  # compile
+            _trace_on()
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 _run()
                 times.append((time.perf_counter() - t0) / iters)
         else:
+            jax.block_until_ready(fn(*args))  # ensure compiled
+            _trace_on()
             for _ in range(iters):
                 t0 = time.perf_counter()
                 out = fn(*args)

@@ -17,7 +17,8 @@ def test_correctness_ramp_fixture(capsys):
     assert cli.main(["correctness", "--param-set", "smallprime",
                      "--algo", "merged,gs_ct"]) == 0
     out = capsys.readouterr().out
-    assert out.count("Identical.") == 3      # 2 algos + closed form
+    # 2 algos x (oracle check + all-ones closed form)
+    assert out.count("Identical.") == 4
 
 
 def test_correctness_random(capsys):
