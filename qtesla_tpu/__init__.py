@@ -7,6 +7,7 @@ fused negacyclic weighting, a Nussbaumer cross-check path, batched polymul
 pipelines, and multi-chip sharding (batch DP + four-step intra-transform SP).
 """
 
-from .params import ParamSet, available_param_sets, get_params  # noqa: F401
+from .params import (ParamSet, available_param_sets, get_params,  # noqa: F401
+                     register_param_set)
 
 __version__ = "0.1.0"

@@ -24,6 +24,7 @@ import numpy as np
 __all__ = [
     "ParamSet",
     "get_params",
+    "register_param_set",
     "available_param_sets",
     "PARAM_SETS",
 ]
@@ -234,6 +235,22 @@ PARAM_SETS: dict[str, tuple[int, int]] = {
     "qtesla-p-iii": (2048, 856145921),
     "smallprime": (32, 65537),
 }
+
+
+def register_param_set(name: str, n: int, q: int) -> "ParamSet":
+    """Register a custom NTT-friendly parameter set at runtime (the
+    reference only offers two compile-time sets, main.cuh:7-30).  Validity
+    (power-of-two n, prime q ≡ 1 mod 2n, q < 2^30) is checked by
+    ParamSet.__post_init__; the registered name flows through every layer
+    (tables, pipelines, Pallas kernels, CLI)."""
+    ps = ParamSet(name=name, n=n, q=q)   # validates before registering
+    existing = PARAM_SETS.get(name)
+    if existing is not None and existing != (n, q):
+        raise ValueError(
+            f"param set {name!r} already registered as {existing}")
+    PARAM_SETS[name] = (n, q)
+    get_params.cache_clear()
+    return ps
 
 
 @functools.lru_cache(maxsize=None)

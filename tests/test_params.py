@@ -87,3 +87,27 @@ def test_rejects_bad_params():
         ParamSet(name="bad", n=48, q=65537)       # not a power of two
     with pytest.raises(ValueError):
         ParamSet(name="bad", n=4, q=7)            # q !≡ 1 mod 2n
+
+
+def test_register_param_set_end_to_end(rng):
+    """A runtime-registered NTT-friendly (n, q) flows through tables,
+    pipelines and oracles (the reference needs a recompile for this,
+    main.cuh:23-29)."""
+    import numpy as np
+    from qtesla_tpu.params import register_param_set, get_params
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+    # 7681 = 2^9*3*5 + 1: classic Kyber-toy prime, q = 1 mod 2n for n = 64
+    ps = register_param_set("toy-7681", 64, 7681)
+    assert get_params("toy-7681") == ps
+    x = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                     for b in range(3)]).astype(np.uint32)
+    np.testing.assert_array_equal(z, want)
+    # re-registration with identical values is idempotent; conflict raises
+    register_param_set("toy-7681", 64, 7681)
+    import pytest
+    with pytest.raises(ValueError):
+        register_param_set("toy-7681", 128, 7681)
