@@ -1,0 +1,41 @@
+"""Timing-harness regression tests (CPU)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from qtesla_tpu.utils.timing import BenchResult, measure
+
+
+def _add(a, b):
+    return a + b
+
+
+def test_measure_warmup_zero():
+    """warmup=0 must not crash (regression: NameError on `out`)."""
+    x = jnp.ones((8, 8), jnp.uint32)
+    r = measure(_add, x, x, warmup=0, iters=2, chain=False, name="w0")
+    assert r.iters == 2 and r.mean_s > 0
+
+
+def test_measure_chain_and_throughput():
+    x = jnp.ones((4, 8), jnp.uint32)
+    r = measure(_add, x, x, warmup=1, iters=3, items_per_iter=4,
+                chain=True, repeats=2, name="c")
+    assert r.throughput_best >= r.throughput > 0
+
+
+def test_measure_trace_dir(tmp_path):
+    """--trace-dir path: profile written, steady-state only (post-compile)."""
+    x = jnp.ones((4, 8), jnp.uint32)
+    d = str(tmp_path / "trace")
+    r = measure(_add, x, x, warmup=1, iters=2, chain=True,
+                trace_dir=d, name="t")
+    import os
+    assert r.mean_s > 0 and os.path.isdir(d) and os.listdir(d)
+
+
+def test_bench_result_line():
+    r = BenchResult(name="x", iters=3, mean_s=0.002, min_s=0.001,
+                    std_s=0.0, items_per_iter=10)
+    assert "items/s" in r.line() and r.throughput == 5000
