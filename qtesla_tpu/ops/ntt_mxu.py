@@ -148,21 +148,21 @@ def _group_bound(bounds, j0, ln) -> int:
     return sum((256 ** m) * bounds[j0 + m] for m in range(ln))
 
 
-def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int):
+def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int, off: int):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
 
     Returns (W, const, bounds): W int8 of shape (nb, D, bw, D*bw) with
     W[b, i, :, j*bw:(j+1)*bw] = digit_j(center(2^{8i} * M_b^T mod q)); const
-    uint32 (nb, 1, bw) folding the operand-centering offset q//2 and the
+    uint32 (nb, 1, bw) folding the operand-centering offset `off` (q//2 for
+    canonical inputs, lazy-bound//2 for the lazy forward split) and the
     recombination biases; bounds[j] = exact worst-case |c_j| over all blocks
     (used to plan the int32 class packing).  In-kernel:
 
         out_k = sum_j 2^{8j} c_jk + const_k   (mod q),
-        c_j   = sum_i digits_i(x - q//2) @ W[b, i][:, j*bw:(j+1)*bw].
+        c_j   = sum_i digits_i(x - off) @ W[b, i][:, j*bw:(j+1)*bw].
     """
     n = M.shape[0]
     nb = n // bw
-    off = q >> 1
     W = np.zeros((nb, D, bw, D * bw), dtype=np.int8)
     colsums = np.zeros((nb, bw), dtype=object)
     mw = np.zeros((D, D), dtype=np.int64)     # max |digit_j(2^{8i} K)|
@@ -206,12 +206,33 @@ class MxuTables:
         self.nb = n // bw
         self.Lr = L - bw.bit_length() + 1      # roll stages (distance >= bw)
         self.D = _ndigits(q)
+        # wide-stage laziness schedule: per stage (lo_bnd, h_bnd) chosen so
+        # every uint32 sum provably fits; final bound F = last lo_bnd+h_bnd
+        bnd = q
+        self.fwd_sched = []
+        for _ in range(self.Lr):
+            h_bnd = 4 * q
+            lo_bnd = bnd
+            if lo_bnd + h_bnd > 1 << 32:
+                h_bnd = 2 * q
+            if lo_bnd + h_bnd > 1 << 32:
+                lo_bnd = 2 * q
+            self.fwd_sched.append((lo_bnd, h_bnd))
+            bnd = lo_bnd + h_bnd
+        # if D digits cover the centered lazy range, the forward skips the
+        # canonicalizing csub chain before the digit split entirely
+        span = (256 ** self.D - 1) // 255
+        self.fwd_lazy = (bnd - 1 - (bnd >> 1) <= 127 * span
+                         and (bnd >> 1) <= 128 * span)
+        self.fwd_bound = bnd if self.fwd_lazy else q
+        self.fwd_off = self.fwd_bound >> 1
+        self.inv_off = q >> 1
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
-            _fwd_matrix(tbl, self.Lr), q, bw, self.D)
+            _fwd_matrix(tbl, self.Lr), q, bw, self.D, self.fwd_off)
         (self.wi, self.consti, self.bounds_i,
          self.groups_i) = _block_digit_tables(
-            _inv_matrix(tbl, L - self.Lr), q, bw, self.D)
+            _inv_matrix(tbl, L - self.Lr), q, bw, self.D, self.inv_off)
 
 
 @functools.lru_cache(maxsize=None)
@@ -223,13 +244,18 @@ def get_mxu_tables(name: str) -> MxuTables:
 # Kernel building blocks (trace-time python over static D / nb / Lr).
 # ----------------------------------------------------------------------
 
-def _digit_planes(v_canon, off: int, D: int):
-    """Canonical uint32 [0, q) -> D balanced-digit int8 planes of x - q//2.
+def _digit_planes(v, off: int, D: int):
+    """uint32 in [0, bound) -> D balanced-digit int8 planes of v - off
+    (off = bound//2; requires |v - off| + 0x..80 < 2^31, guaranteed by the
+    table builder's coverage check).
 
     Biased-byte extraction: adding 0x..8080 pre-propagates every borrow at
-    once, so digit i is just byte i minus 128 — no sequential carry chain."""
+    once, so digit i is just byte i minus 128 — no sequential carry chain.
+    The shift is applied in wrapping uint32 then bitcast to int32, so lazy
+    inputs beyond 2^31 are handled exactly."""
     bias = sum(128 << (8 * i) for i in range(D - 1))
-    a = v_canon.astype(jnp.int32) + np.int32(bias - off)
+    a = lax.bitcast_convert_type(v + np.uint32((bias - off) % (1 << 32)),
+                                 jnp.int32)
     planes = []
     for i in range(D - 1):
         planes.append((((a >> np.int32(8 * i)) & np.int32(255))
@@ -288,11 +314,12 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
     return functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
 
 
-def _block_matmul(blocks, w_ref, const_ref, mt: MxuTables, groups, bounds):
+def _block_matmul(blocks, w_ref, const_ref, mt: MxuTables, groups, bounds,
+                  off: int):
     """Stage matrix over the block-list representation: per 128-lane block,
-    digit split -> int8 dot -> packed recombination.  No concatenation —
-    data stays as nb separate (TB, bw) tiles."""
-    return [_one_block_matmul(_digit_planes(blk, mt.q >> 1, mt.D), b,
+    digit split (centered at `off`) -> int8 dot -> packed recombination.
+    No concatenation — data stays as nb separate (TB, bw) tiles."""
+    return [_one_block_matmul(_digit_planes(blk, off, mt.D), b,
                               w_ref, const_ref, mt, groups, bounds)
             for b, blk in enumerate(blocks)]
 
@@ -339,13 +366,9 @@ def _fwd_rolls(blocks, mt: MxuTables):
         ws = mt.tbl.ct_fwd_stages[s][0].reshape(-1)
         wsh = mt.tbl.ct_fwd_stages[s][1].reshape(-1)
         half = len(blocks) >> (s + 1)          # tiles per butterfly half
-        # h < 4q sloppy; compress operands only if lo + h would overflow
-        h_bnd = 4 * q
-        lo_bnd = bnd
-        if lo_bnd + h_bnd > 1 << 32:
-            h_bnd = 2 * q
-        if lo_bnd + h_bnd > 1 << 32:
-            lo_bnd = 2 * q
+        # precomputed schedule: compress operands only where lo + h would
+        # overflow uint32 (MxuTables.fwd_sched)
+        lo_bnd, h_bnd = mt.fwd_sched[s]
         out = []
         for b in range(1 << s):
             grp = blocks[b * 2 * half:(b + 1) * 2 * half]
@@ -360,6 +383,9 @@ def _fwd_rolls(blocks, mt: MxuTables):
             out += los + his
         blocks = out
         bnd = lo_bnd + h_bnd
+    if mt.fwd_lazy:
+        # the digit split covers the lazy range directly (fwd_off = bnd//2)
+        return blocks
     return [_csub_to(v, bnd, q, q)[0] for v in blocks]
 
 
@@ -418,7 +444,7 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
     if mt.Lr:
         blocks = _fwd_rolls(blocks, mt)
     return _block_matmul(blocks, refs["wf"], refs["constf"], mt,
-                         mt.groups_f, mt.bounds_f)
+                         mt.groups_f, mt.bounds_f, mt.fwd_off)
 
 
 def _reduce_2q(v, mt: MxuTables):
@@ -444,7 +470,7 @@ def _pointwise(xb, yb, mt: MxuTables):
 def _inv_mxu(blocks_canon, refs, mt: MxuTables):
     """Full inverse NTT from canonical blocks; canonical blocks out."""
     blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
-                           mt.groups_i, mt.bounds_i)
+                           mt.groups_i, mt.bounds_i, mt.inv_off)
     # reduce lazy recombination sums into [0, 2q)
     blocks = [_reduce_2q(v, mt) for v in blocks]
     if mt.Lr:
