@@ -97,6 +97,28 @@ def main() -> int:
             print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:
             print(f"# {pset}/{candidate} failed: {e}", file=sys.stderr)
+    if algo == "mxu":
+        # fixed-operand workload (constant polynomial, spectrum precomputed)
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+            from qtesla_tpu.models import polymul_fixed_fn
+            from qtesla_tpu.params import get_params
+            from qtesla_tpu.utils.timing import measure
+            ps = get_params(PARAM_SET)
+            rng = np.random.default_rng(0)
+            prep, mul = polymul_fixed_fn(PARAM_SET, "mxu")
+            A = prep(jnp.asarray(rng.integers(
+                0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
+            x = jnp.asarray(rng.integers(0, ps.q, (BATCHES[0], ps.n),
+                                         dtype=np.uint32))
+            r = measure(lambda _, c: mul(c, A), x, x, warmup=2, iters=ITERS,
+                        items_per_iter=BATCHES[0], chain=True,
+                        name=f"polymul_fixed[{PARAM_SET},mxu,"
+                             f"B={BATCHES[0]}]")
+            print(f"# {r.line()}", file=sys.stderr)
+        except Exception as e:
+            print(f"# fixed-operand failed: {e}", file=sys.stderr)
     return 0
 
 
