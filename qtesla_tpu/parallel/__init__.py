@@ -1,6 +1,7 @@
 from .mesh import make_mesh  # noqa: F401
 from .sharded import (  # noqa: F401
     polymul_dp_fn,
+    polymul_fixed_dp_fn,
     polymul_fourstep_sharded_fn,
     ntt_fourstep_sharded_fn,
 )

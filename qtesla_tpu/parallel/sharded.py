@@ -32,8 +32,8 @@ from ..ops.modmul import shoup_mulmod
 from ..ops.ntt import _subtables
 from ..ops.tables import get_tables
 
-__all__ = ["polymul_dp_fn", "polymul_fourstep_sharded_fn",
-           "ntt_fourstep_sharded_fn"]
+__all__ = ["polymul_dp_fn", "polymul_fixed_dp_fn",
+           "polymul_fourstep_sharded_fn", "ntt_fourstep_sharded_fn"]
 
 
 def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
@@ -57,6 +57,27 @@ def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
                                      out_specs=pspec, check_vma=False))
     spec = NamedSharding(mesh, pspec)
     return jax.jit(pipeline, in_shardings=(spec, spec), out_shardings=spec)
+
+
+def polymul_fixed_dp_fn(name: str, mesh: Mesh, algo: str = "mxu"):
+    """Data-parallel fixed-operand products: z = x * a for a constant
+    polynomial a (the batch-verification serving shape).  Returns
+    (prepare, multiply): prepare(a) -> spectrum A (replicated); multiply
+    shards the x batch over the whole mesh, A broadcast to every device."""
+    from ..models import polymul_fixed_fn
+    prep, mul = polymul_fixed_fn(name, algo)
+    pspec = P(("data", "model"))
+    if algo in ("fused", "mxu"):
+        sharded_mul = jax.jit(jax.shard_map(
+            mul, mesh=mesh, in_specs=(pspec, P()), out_specs=pspec,
+            check_vma=False))
+    else:
+        sharded_mul = jax.jit(
+            mul,
+            in_shardings=(NamedSharding(mesh, pspec),
+                          NamedSharding(mesh, P())),
+            out_shardings=NamedSharding(mesh, pspec))
+    return prep, sharded_mul
 
 
 @functools.lru_cache(maxsize=None)

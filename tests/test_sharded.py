@@ -84,3 +84,22 @@ def test_mesh_validation():
     mesh = make_mesh(data=1, model=8)
     with pytest.raises(AssertionError, match="divide"):
         polymul_fourstep_sharded_fn("smallprime", mesh)  # n1=4 < 8
+
+
+def test_polymul_fixed_dp_merged(rng):
+    """DP-sharded fixed-operand products on the virtual CPU mesh (jnp
+    path): batch sharded, spectrum replicated."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.parallel import make_mesh
+    from qtesla_tpu.parallel.sharded import polymul_fixed_dp_fn
+    from qtesla_tpu.params import get_params
+
+    ps = get_params("smallprime")
+    mesh = make_mesh(data=4, model=2)
+    prep, mul = polymul_fixed_dp_fn("smallprime", mesh, algo="merged")
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (16, ps.n), dtype=np.uint32)
+    z = np.asarray(mul(x, prep(a)))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
