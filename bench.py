@@ -83,13 +83,16 @@ def main() -> int:
     }), flush=True)
     # stderr diagnostics: algorithm comparison points + the other qTESLA
     # sets (n = 512 / 1024 / 2048)
+    # keyed off best_algo (the config that actually succeeded), not the
+    # preferred pick — if mxu failed everywhere the diagnostics must not
+    # retry it on three more parameter sets
     extras = []
-    if algo == "mxu":
+    if best_algo == "mxu":
         extras.append((PARAM_SET, "fused"))
-    if algo != "merged":
+    if best_algo != "merged":
         extras.append((PARAM_SET, "merged"))
-    extras += [(s, algo) for s in ("qtesla-i", "qtesla-p-i",
-                                   "qtesla-p-iii")]
+    extras += [(s, best_algo) for s in ("qtesla-i", "qtesla-p-i",
+                                        "qtesla-p-iii")]
     for pset, candidate in extras:
         try:
             r = benchmark_polymul(pset, candidate, batch=BATCHES[0],
@@ -97,7 +100,7 @@ def main() -> int:
             print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:
             print(f"# {pset}/{candidate} failed: {e}", file=sys.stderr)
-    if algo == "mxu":
+    if best_algo == "mxu":
         # fixed-operand workload (constant polynomial, spectrum precomputed)
         try:
             import jax.numpy as jnp

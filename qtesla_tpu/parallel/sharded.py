@@ -51,12 +51,29 @@ def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
     pspec = P(("data", "model"))
     if algo in ("fused", "mxu"):
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-        # annotation
-        return jax.jit(jax.shard_map(pipeline, mesh=mesh,
-                                     in_specs=(pspec, pspec),
-                                     out_specs=pspec, check_vma=False))
+        # annotation.  shard_map needs the global batch divisible by the
+        # mesh size; ragged batches are padded up and the output sliced
+        # (the jit+GSPMD path below handles ragged batches natively).
+        sm = jax.shard_map(pipeline, mesh=mesh, in_specs=(pspec, pspec),
+                           out_specs=pspec, check_vma=False)
+        return jax.jit(_pad_batch_wrapper(sm, mesh.devices.size, nargs=2))
     spec = NamedSharding(mesh, pspec)
     return jax.jit(pipeline, in_shardings=(spec, spec), out_shardings=spec)
+
+
+def _pad_batch_wrapper(sharded_fn, nd: int, nargs: int):
+    """Pad the leading batch axis of the first `nargs` arguments up to a
+    multiple of the device count, run, slice the output back."""
+    def fn(*args):
+        head, tail = args[:nargs], args[nargs:]
+        B = head[0].shape[0]
+        pad = (-B) % nd
+        if pad:
+            head = tuple(jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+                         for v in head)
+        out = sharded_fn(*head, *tail)
+        return out[:B] if pad else out
+    return fn
 
 
 def polymul_fixed_dp_fn(name: str, mesh: Mesh, algo: str = "mxu"):
@@ -68,9 +85,10 @@ def polymul_fixed_dp_fn(name: str, mesh: Mesh, algo: str = "mxu"):
     prep, mul = polymul_fixed_fn(name, algo)
     pspec = P(("data", "model"))
     if algo in ("fused", "mxu"):
-        sharded_mul = jax.jit(jax.shard_map(
-            mul, mesh=mesh, in_specs=(pspec, P()), out_specs=pspec,
-            check_vma=False))
+        sm = jax.shard_map(mul, mesh=mesh, in_specs=(pspec, P()),
+                           out_specs=pspec, check_vma=False)
+        sharded_mul = jax.jit(
+            _pad_batch_wrapper(sm, mesh.devices.size, nargs=1))
     else:
         sharded_mul = jax.jit(
             mul,

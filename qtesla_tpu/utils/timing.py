@@ -28,6 +28,20 @@ class BenchResult:
     min_s: float
     std_s: float
     items_per_iter: int = 1
+    median_s: float = 0.0
+
+    @classmethod
+    def from_times(cls, times, *, name: str, iters: int,
+                   items_per_iter: int = 1) -> "BenchResult":
+        """Robust statistics over per-iteration times.  One tunnel hiccup in
+        a repeat must not move the reported numbers: the headline statistic
+        is the MIN (device time is a lower bound that hiccups only inflate),
+        with the median as the robust central tendency."""
+        return cls(
+            name=name, iters=iters, mean_s=statistics.fmean(times),
+            min_s=min(times), median_s=statistics.median(times),
+            std_s=statistics.stdev(times) if len(times) > 1 else 0.0,
+            items_per_iter=items_per_iter)
 
     @property
     def mean_ms(self) -> float:
@@ -35,19 +49,26 @@ class BenchResult:
 
     @property
     def throughput(self) -> float:
-        """items/s based on mean iteration time."""
-        return self.items_per_iter / self.mean_s
+        """items/s based on the median iteration time (robust against
+        outlier repeats; see from_times)."""
+        return self.items_per_iter / (self.median_s or self.mean_s)
 
     @property
     def throughput_best(self) -> float:
         """items/s based on the best (min) iteration time — robust against
-        host/tunnel hiccups that inflate the mean but not device time."""
+        host/tunnel hiccups that inflate the mean but not device time.
+        This is the statistic bench.py's JSON line reports."""
         return self.items_per_iter / self.min_s
 
     def line(self) -> str:
-        return (f"{self.name}: {self.mean_ms:.3f} ms/iter "
-                f"(min {self.min_s * 1e3:.3f}, std {self.std_s * 1e3:.3f}) "
-                f"-> {self.throughput:,.0f} items/s")
+        """One diagnostic line.  The printed items/s uses the SAME statistic
+        as bench.py's JSON (min-based throughput_best), so the human-readable
+        and machine-readable outputs can never disagree."""
+        med = (self.median_s or self.mean_s) * 1e3
+        return (f"{self.name}: {med:.3f} ms/iter "
+                f"(min {self.min_s * 1e3:.3f}, mean {self.mean_ms:.3f}, "
+                f"std {self.std_s * 1e3:.3f}) "
+                f"-> {self.throughput_best:,.0f} items/s")
 
 
 def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
@@ -105,14 +126,15 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 _ = _np.asarray(leaf.reshape(-1)[:1])
 
-            _run()  # compile
+            _run()  # compile + warm the whole chained pipeline once
             _trace_on()
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 _run()
                 times.append((time.perf_counter() - t0) / iters)
         else:
-            jax.block_until_ready(fn(*args))  # ensure compiled
+            if not warmup:
+                jax.block_until_ready(fn(*args))  # ensure compiled
             _trace_on()
             for _ in range(iters):
                 t0 = time.perf_counter()
@@ -122,11 +144,8 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
     finally:
         if ctx:
             ctx.__exit__(None, None, None)
-    return BenchResult(
-        name=name, iters=iters, mean_s=statistics.fmean(times),
-        min_s=min(times),
-        std_s=statistics.stdev(times) if len(times) > 1 else 0.0,
-        items_per_iter=items_per_iter)
+    return BenchResult.from_times(times, name=name, iters=iters,
+                                  items_per_iter=items_per_iter)
 
 
 def benchmark_polymul(param_set: str, algo: str = "merged",

@@ -86,6 +86,27 @@ def test_mesh_validation():
         polymul_fourstep_sharded_fn("smallprime", mesh)  # n1=4 < 8
 
 
+@needs8
+def test_pad_batch_wrapper_ragged(data16):
+    """The shard_map wrapper used for the Pallas algos must accept batches
+    not divisible by the mesh size (pad up, slice back) — regression for
+    round-1 ADVICE."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from qtesla_tpu.models import polymul_fn
+    from qtesla_tpu.parallel.sharded import _pad_batch_wrapper
+
+    ps, x, y, want = data16
+    mesh = make_mesh(data=4, model=2)
+    pspec = P(("data", "model"))
+    sm = jax.shard_map(polymul_fn(ps.name, "merged"), mesh=mesh,
+                       in_specs=(pspec, pspec), out_specs=pspec,
+                       check_vma=False)
+    fn = jax.jit(_pad_batch_wrapper(sm, mesh.devices.size, nargs=2))
+    z = np.asarray(fn(jnp.asarray(x[:5]), jnp.asarray(y[:5])))
+    np.testing.assert_array_equal(z, want[:5])
+
+
 def test_polymul_fixed_dp_merged(rng):
     """DP-sharded fixed-operand products on the virtual CPU mesh (jnp
     path): batch sharded, spectrum replicated."""

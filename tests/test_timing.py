@@ -39,3 +39,20 @@ def test_bench_result_line():
     r = BenchResult(name="x", iters=3, mean_s=0.002, min_s=0.001,
                     std_s=0.0, items_per_iter=10)
     assert "items/s" in r.line() and r.throughput == 5000
+
+
+def test_outlier_repeat_does_not_inflate_reported_numbers():
+    """Regression (round-1 VERDICT): one tunnel hiccup among the chained
+    repeats must not move the reported throughput — stats are min/median
+    based, and line() prints the same statistic the bench JSON uses."""
+    times = [0.0417, 0.0032, 0.0031]     # the observed 13x outlier shape
+    r = BenchResult.from_times(times, name="o", iters=400,
+                               items_per_iter=16384)
+    assert r.min_s == 0.0031 and r.median_s == 0.0032
+    best = 16384 / 0.0031
+    assert r.throughput_best == best
+    # median-based central throughput unaffected by the outlier
+    assert abs(r.throughput - 16384 / 0.0032) < 1e-6
+    # the human-readable line carries the min-based number, not mean-based
+    assert f"{best:,.0f} items/s" in r.line()
+    assert f"{16384 / r.mean_s:,.0f}" not in r.line()
