@@ -91,10 +91,6 @@ def cmd_correctness(args) -> int:
 
     failures = 0
     for algo in _algos(args.algo):
-        if algo == "nussbaumer" and args.random:
-            print(f"  {algo:10s} SKIP (exact only for small operands; "
-                  "run without --random)")
-            continue
         z = np.asarray(polymul_negacyclic(x, y, ps, algo=algo))
         ok = (z == want).all()
         failures += (not ok)

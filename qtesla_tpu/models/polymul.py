@@ -183,8 +183,12 @@ def polymul_fn(name: str, algo: str = "merged"):
             from ..ops.ntt_mxu import polymul_mxu_fn
             return polymul_mxu_fn(name)
         if algo == "nussbaumer":
-            from ..ops.nussbaumer import polymul_nussbaumer_fn
-            return polymul_nussbaumer_fn(name)
+            # the exact mod-q recursion: valid for ALL operands.  The
+            # reference-shaped Z_{2^32-1} ring path (domain-restricted,
+            # guarded) stays available as ops.nussbaumer.
+            # polymul_nussbaumer_fn(name, max_coeff=...).
+            from ..ops.nussbaumer import polymul_nussbaumer_q_fn
+            return polymul_nussbaumer_q_fn(name)
         raise ValueError(
             f"unknown algorithm {algo!r}; available: "
             f"{sorted(ALGORITHMS) + ['fused', 'mxu', 'nussbaumer']}"

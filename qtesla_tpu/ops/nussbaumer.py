@@ -24,17 +24,59 @@ restriction (qTESLA's sparse/small multiplicands; SURVEY.md C19 note).
 from __future__ import annotations
 
 import functools
+import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .modmul import reduce_u32, u32
+from .modmul import mulmod_barrett, reduce_u32, u32
 from .ringz32 import (RING_MOD, ring_add, ring_div2, ring_mul, ring_neg,
                       ring_normalize, ring_sub)
 
-__all__ = ["nussbaumer_negacyclic_ring", "polymul_nussbaumer_fn",
-           "nussbaumer_plan"]
+__all__ = ["nussbaumer_negacyclic_ring", "nussbaumer_negacyclic_modq",
+           "polymul_nussbaumer_fn", "polymul_nussbaumer_q_fn",
+           "nussbaumer_plan", "ring_exact_coeff_bound"]
+
+
+# ----------------------------------------------------------------------
+# Coefficient arithmetic hooks.  The butterfly/base-product machinery below
+# is generic over the coefficient ring: Z_{2^32-1} (the reference's exact
+# integer ring, NTT.cu:102-145) or Z_q directly (exact for ALL operands —
+# the guard-free variant the reference lacks).
+# ----------------------------------------------------------------------
+
+_RING_ARITH = types.SimpleNamespace(
+    add=ring_add, sub=ring_sub, neg=ring_neg, mul=ring_mul,
+    div2=lambda v: ring_div2(ring_normalize(v)),
+)
+
+
+def _modq_arith(q: int, r32: int, r32_shoup: int, one_shoup: int):
+    """Z_q arithmetic for the Nussbaumer recursion (q odd, < 2^31): the
+    monomial-shift negations become q - x, halving uses the odd-modulus
+    trick (x + q*(x&1)) >> 1, base products are full Barrett mulmods."""
+    qv = jnp.uint32(q)
+
+    def add(a, b):
+        s = a + b
+        return jnp.where(s >= qv, s - qv, s)
+
+    def sub(a, b):
+        d = a - b
+        return jnp.where(a >= b, d, d + qv)
+
+    def neg(a):
+        return jnp.where(a == 0, a, qv - a)
+
+    def div2(a):
+        return jnp.where((a & 1) != 0, (a + qv) >> 1, a >> 1)
+
+    def mul(a, b):
+        return mulmod_barrett(a, b, q, r32, r32_shoup, one_shoup)
+
+    return types.SimpleNamespace(add=add, sub=sub, neg=neg, mul=mul,
+                                 div2=div2)
 
 
 def _bitrev(x: int, bits: int) -> int:
@@ -105,41 +147,41 @@ def nussbaumer_plan(n: int):
     return m, r, fwd, inv
 
 
-def _apply_shift(rows, gather, negmask):
+def _apply_shift(rows, gather, negmask, A):
     """rows: (..., P, r); per-row negacyclic monomial shift."""
     g = jnp.asarray(gather)
     shifted = jnp.take_along_axis(
         rows, jnp.broadcast_to(g, rows.shape), axis=-1)
-    return jnp.where(jnp.asarray(negmask), ring_neg(shifted), shifted)
+    return jnp.where(jnp.asarray(negmask), A.neg(shifted), shifted)
 
 
-def _forward(state, fwd):
+def _forward(state, fwd, A):
     """state: (..., 2m, r) -> transformed, via static row-permute butterflies."""
     for perm, inv_perm, gather, negmask in fwd:
         v = jnp.take(state, jnp.asarray(perm), axis=-2)
         p = v.shape[-2] // 2
         a = v[..., :p, :]
-        b = _apply_shift(v[..., p:, :], gather, negmask)
-        out = jnp.concatenate([ring_add(a, b), ring_sub(a, b)], axis=-2)
+        b = _apply_shift(v[..., p:, :], gather, negmask, A)
+        out = jnp.concatenate([A.add(a, b), A.sub(a, b)], axis=-2)
         state = jnp.take(out, jnp.asarray(inv_perm), axis=-2)
     return state
 
 
-def _inverse(state, inv):
+def _inverse(state, inv, A):
     for perm, inv_perm, gather, negmask in inv:
         v = jnp.take(state, jnp.asarray(perm), axis=-2)
         p = v.shape[-2] // 2
         a = v[..., :p, :]
         b = v[..., p:, :]
-        s = ring_div2(ring_normalize(ring_add(a, b)))
-        d = ring_div2(ring_normalize(ring_sub(a, b)))
-        d = _apply_shift(d, gather, negmask)
+        s = A.div2(A.add(a, b))
+        d = A.div2(A.sub(a, b))
+        d = _apply_shift(d, gather, negmask, A)
         out = jnp.concatenate([s, d], axis=-2)
         state = jnp.take(out, jnp.asarray(inv_perm), axis=-2)
     return state
 
 
-def _base_negacyclic(x, y, r: int):
+def _base_negacyclic(x, y, r: int, A):
     """Schoolbook negacyclic r-point products, vectorized over (..., 2m) rows:
     z[..., i] = sum_j s(i,j) * x[..., j] * y[..., (i-j) mod r], statically
     unrolled over j (replaces the reference's `naive`, NTT.cu:147-165)."""
@@ -149,17 +191,14 @@ def _base_negacyclic(x, y, r: int):
         if j > 0:
             mask = np.zeros((r,), dtype=bool)
             mask[:j] = True            # wrapped positions i < j get negated
-            yr = jnp.where(jnp.asarray(mask), ring_neg(yr), yr)
-        term = ring_mul(x[..., j:j + 1], yr)
-        acc = term if acc is None else ring_add(acc, term)
+            yr = jnp.where(jnp.asarray(mask), A.neg(yr), yr)
+        term = A.mul(x[..., j:j + 1], yr)
+        acc = term if acc is None else A.add(acc, term)
     return acc
 
 
-def nussbaumer_negacyclic_ring(x, y):
-    """Negacyclic product of uint32 vectors over Z_{2^32-1}.
-
-    x, y: (..., n) uint32 ring representatives; returns (..., n) normalized
-    representatives of (x * y mod (X^n + 1)) mod (2^32 - 1)."""
+def _nussbaumer(x, y, A):
+    """Generic negacyclic product over the coefficient arithmetic A."""
     n = x.shape[-1]
     m, r, fwd, inv = nussbaumer_plan(n)
     batch = x.shape[:-1]
@@ -170,33 +209,72 @@ def nussbaumer_negacyclic_ring(x, y):
         vm = jnp.swapaxes(vm, -1, -2)
         return jnp.concatenate([vm, vm], axis=-2)
 
-    X = _forward(lift(x), fwd)
-    Y = _forward(lift(y), fwd)
-    Z = _base_negacyclic(X, Y, r)
-    Z = _inverse(Z, inv)
+    X = _forward(lift(x), fwd, A)
+    Y = _forward(lift(y), fwd, A)
+    Z = _base_negacyclic(X, Y, r, A)
+    Z = _inverse(Z, inv, A)
     P = Z[..., :m, :]                   # Z_i
     Q = Z[..., m:, :]                   # Z_{m+i}
     # z[m*j + i] = P[i, j] + Q[i, j-1], with Q[i, -1] wrapping negacyclically
     Qs = jnp.roll(Q, 1, axis=-1)
     wrapmask = np.zeros((r,), dtype=bool)
     wrapmask[0] = True
-    Qs = jnp.where(jnp.asarray(wrapmask), ring_neg(Qs), Qs)
-    zm = ring_add(P, Qs)                # (..., m=i, r=j)
-    z = jnp.swapaxes(zm, -1, -2).reshape(*batch, n)
-    return ring_normalize(z)
+    Qs = jnp.where(jnp.asarray(wrapmask), A.neg(Qs), Qs)
+    zm = A.add(P, Qs)                   # (..., m=i, r=j)
+    return jnp.swapaxes(zm, -1, -2).reshape(*batch, n)
+
+
+def nussbaumer_negacyclic_ring(x, y):
+    """Negacyclic product of uint32 vectors over Z_{2^32-1}.
+
+    x, y: (..., n) uint32 ring representatives; returns (..., n) normalized
+    representatives of (x * y mod (X^n + 1)) mod (2^32 - 1)."""
+    return ring_normalize(_nussbaumer(x, y, _RING_ARITH))
+
+
+def nussbaumer_negacyclic_modq(x, y, ps):
+    """Negacyclic product over Z_q via the Nussbaumer recursion — exact for
+    ALL canonical operands (no coefficient-magnitude restriction): every
+    butterfly, halving and base product is carried out mod q.  The
+    reference's Z_{2^32-1} path (NTT.cu:147-277) is wrong-silent outside
+    its domain; this variant removes the domain entirely."""
+    A = _modq_arith(ps.q, ps.r32, ps.r32_shoup, ps.one_shoup)
+    return _nussbaumer(x, y, A)
+
+
+def ring_exact_coeff_bound(n: int) -> int:
+    """Largest operand-coefficient magnitude C such that the Z_{2^32-1}
+    ring path is provably exact: every true product coefficient is a sum of
+    exactly n terms +-x_i*y_j, so |z_k| <= n*C^2 must stay <= RING_MOD//2
+    for the signed recovery to be unambiguous."""
+    import math
+    return math.isqrt((RING_MOD // 2) // n)
 
 
 @functools.lru_cache(maxsize=None)
-def polymul_nussbaumer_fn(name: str):
-    """Jitted negacyclic polymul mod q via the Nussbaumer ring path.
+def polymul_nussbaumer_fn(name: str, max_coeff: int | None = None):
+    """Jitted negacyclic polymul mod q via the Nussbaumer Z_{2^32-1} ring
+    path (the reference's exact-integer formulation, NTT.cu:147-277).
 
     Ring representatives are mapped to signed integers (reps > 2^31 are
-    negative) and reduced mod q — exact when the true product coefficients
-    are < 2^31 in magnitude (small/sparse multiplicands, the qTESLA regime;
-    same domain as the reference's Z_{2^32-1} path)."""
+    negative) and reduced mod q — exact only while the true product
+    coefficients stay <= 2^31 in magnitude.  `max_coeff` declares the
+    caller's operand bound (None means full-range canonical residues, q-1);
+    a declared bound outside the provable domain raises instead of
+    returning silently wrong results.  For unrestricted operands use
+    polymul_nussbaumer_q_fn (exact mod-q recursion)."""
     from ..params import get_params
     ps = get_params(name)
     q = ps.q
+    mc = q - 1 if max_coeff is None else int(max_coeff)
+    limit = ring_exact_coeff_bound(ps.n)
+    if mc > limit:
+        raise ValueError(
+            f"nussbaumer ring path is exact only for operand coefficients "
+            f"<= {limit} at n={ps.n} (declared max_coeff={mc}); pass "
+            f"max_coeff<={limit} for small/sparse operands, or use "
+            f"algo='nussbaumer' (the exact mod-q recursion, "
+            f"polymul_nussbaumer_q_fn) for full-range operands")
     m_mod_q = RING_MOD % q
     half = jnp.uint32(RING_MOD // 2)
 
@@ -208,3 +286,14 @@ def polymul_nussbaumer_fn(name: str):
         return jnp.where(z > half, neg, pos)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_nussbaumer_q_fn(name: str):
+    """Jitted negacyclic polymul via the exact mod-q Nussbaumer recursion —
+    valid for ALL canonical operands (no domain restriction, unlike the
+    reference's Z_{2^32-1} path and polymul_nussbaumer_fn)."""
+    from ..params import get_params
+    ps = get_params(name)
+    return jax.jit(lambda x, y: nussbaumer_negacyclic_modq(
+        u32(x), u32(y), ps))

@@ -59,7 +59,7 @@ def test_nussbaumer_vs_ntt_crosscheck(rng, name):
     ps = get_params(name)
     x = rng.integers(0, 512, (2, ps.n)).astype(np.uint32)
     y = rng.integers(0, 512, (2, ps.n)).astype(np.uint32)
-    za = np.asarray(polymul_nussbaumer_fn(name)(x, y))
+    za = np.asarray(polymul_nussbaumer_fn(name, max_coeff=511)(x, y))
     zb = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
     np.testing.assert_array_equal(za, zb)
 
@@ -81,6 +81,35 @@ def test_nussbaumer_negative_wrap():
     y = np.zeros((1, n), np.uint32)
     x[0, 0], x[0, 1] = 1, 2
     y[0, n - 1] = 7          # x*y has -14 X^0 and -7? wrap terms
-    z = np.asarray(polymul_nussbaumer_fn(ps.name)(x, y))
+    z = np.asarray(polymul_nussbaumer_fn(ps.name, max_coeff=7)(x, y))
     want = negacyclic_schoolbook(x[0], y[0], ps)
     np.testing.assert_array_equal(z[0].astype(np.uint64), want)
+
+
+def test_nussbaumer_ring_out_of_domain_raises():
+    """Round-1 VERDICT: the ring path must refuse declared operand bounds
+    outside its provable exactness domain instead of returning silently
+    wrong results."""
+    from qtesla_tpu.ops.nussbaumer import ring_exact_coeff_bound
+    limit = ring_exact_coeff_bound(1024)
+    with pytest.raises(ValueError, match="exact only"):
+        polymul_nussbaumer_fn("qtesla-iii-speed")          # full range
+    with pytest.raises(ValueError, match="exact only"):
+        polymul_nussbaumer_fn("qtesla-iii-speed", max_coeff=limit + 1)
+    polymul_nussbaumer_fn("qtesla-iii-speed", max_coeff=limit)  # ok
+
+
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed",
+                                  "qtesla-p-iii"])
+def test_nussbaumer_modq_full_range(rng, name):
+    """The exact mod-q recursion has NO domain restriction: full-range
+    random operands and adversarial all-(q-1) operands, vs big-int oracle."""
+    ps = get_params(name)
+    x = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    x[1, :] = ps.q - 1
+    y[1, :] = ps.q - 1
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="nussbaumer"))
+    for b in range(2):
+        want = negacyclic_schoolbook(x[b], y[b], ps)
+        np.testing.assert_array_equal(z[b].astype(np.uint64), want)
