@@ -122,14 +122,15 @@ def cmd_speed(args) -> int:
         from .utils.timing import measure
         ps = get_params(args.param_set)
         rng = np.random.default_rng(args.seed)
-        # fixed-operand pairs exist for 'mxu' (TPU) and 'merged';
+        # fixed-operand pairs exist for 'mxu'/'fused' (TPU) and 'merged';
         # 'all'/comma lists are filtered the same way the CPU guard works
         requested = _algos(args.algo)
-        fixed_algos = [a for a in requested if a in ("mxu", "merged")]
+        fixed_algos = [a for a in requested if a in ("mxu", "fused",
+                                                     "merged")]
         for a in requested:
             if a not in fixed_algos:
                 print(f"  {a:10s} SKIP (no fixed-operand variant; "
-                      "available: mxu, merged)")
+                      "available: mxu, fused, merged)")
         if not fixed_algos:
             return 1
         out = []

@@ -207,6 +207,9 @@ def polymul_fixed_fn(name: str, algo: str = "mxu"):
     if algo == "mxu":
         from ..ops.ntt_mxu import ntt_mxu_fn, polymul_fixed_mxu_fn
         return ntt_mxu_fn(name), polymul_fixed_mxu_fn(name)
+    if algo == "fused":
+        from ..ops.ntt_pallas import ntt_fused_fn, polymul_fixed_fused_fn
+        return ntt_fused_fn(name), polymul_fixed_fused_fn(name)
     if algo == "merged":
         prep = jax.jit(functools.partial(N.ntt_fwd_merged, tbl=tbl))
 

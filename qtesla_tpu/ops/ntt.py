@@ -43,7 +43,7 @@ __all__ = [
     "stockham_fwd", "stockham_inv",
     "matrix_ntt", "fourstep_ntt", "fourstep_intt",
     "bitrev_permute", "pointwise_mul", "weight_psi", "weight_ipsi_ninv",
-    "weight_ipsi",
+    "weight_ipsi", "bitrev_weight_ipsi_ninv", "weight_psi_bitrev",
 ]
 
 
@@ -333,6 +333,24 @@ def bitrev_permute(v, tbl: NttTables):
     """Bit-reversal permutation on the last axis (reference NTT.cu:61-100,
     487-492): one-time static gather."""
     return jnp.take(v, jnp.asarray(tbl.bitrev), axis=-1)
+
+
+def bitrev_weight_ipsi_ninv(v, tbl: NttTables):
+    """Fused bit-reversal x (n^{-1} psi^{-i}) post-weighting — the
+    reference's fused invPhi-permute kernel (NTT.cu:494-500) as ONE gather
+    + one Shoup multiply: out[i] = v[rev(i)] * n^{-1} * psi^{-i}."""
+    return shoup_mulmod(bitrev_permute(v, tbl), jnp.asarray(tbl.inv_phi),
+                        jnp.asarray(tbl.inv_phi_shoup), tbl.q)
+
+
+def weight_psi_bitrev(v, tbl: NttTables):
+    """Fused psi-weighting-then-permute — the reference's weight-then-
+    __syncthreads-then-permute kernel (NTT.cu:502-509) as ONE gather + one
+    Shoup multiply with a pre-permuted weight table:
+    out[i] = v[rev(i)] * psi^{rev(i)}."""
+    return shoup_mulmod(bitrev_permute(v, tbl),
+                        jnp.asarray(tbl.phi[tbl.bitrev]),
+                        jnp.asarray(tbl.phi_shoup[tbl.bitrev]), tbl.q)
 
 
 def weight_psi(v, tbl: NttTables):

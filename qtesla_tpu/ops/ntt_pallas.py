@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .modmul import mulmod_barrett, shoup_mulmod_lazy
 from .tables import NttTables, get_tables
 
-__all__ = ["polymul_fused_fn", "ntt_fused_fn", "intt_fused_fn"]
+__all__ = ["polymul_fused_fn", "polymul_fixed_fused_fn", "ntt_fused_fn",
+           "intt_fused_fn"]
 
 
 def _roll(v, shift: int):
@@ -108,6 +109,17 @@ def _polymul_kernel(x_ref, y_ref, ftw, ftw_sh, itw, itw_sh, z_ref, *,
     z_ref[:] = _inv_stages(Z, col, itw, itw_sh, n, L, q)
 
 
+def _polymul_fixed_kernel(x_ref, yspec_ref, ftw, ftw_sh, itw, itw_sh, z_ref,
+                          *, n, L, q, r32, r32_sh, one_sh):
+    """Fixed-operand pipeline: one forward transform + pointwise against a
+    precomputed broadcast spectrum + inverse — the qTESLA-verification
+    serving shape, one fused kernel, only x and z streamed."""
+    col = _iota_cols(x_ref.shape)
+    X = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
+    Z = mulmod_barrett(X, yspec_ref[:], q, r32, r32_sh, one_sh)
+    z_ref[:] = _inv_stages(Z, col, itw, itw_sh, n, L, q)
+
+
 def _ntt_kernel(x_ref, ftw, ftw_sh, out_ref, *, n, L, q):
     col = _iota_cols(x_ref.shape)
     v = _fwd_stages(x_ref[:], col, ftw, ftw_sh, n, L, q)
@@ -128,13 +140,17 @@ def _tile_b(n: int, requested: int | None) -> int:
 
 
 def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
-          interpret: bool):
-    """Build a runner for `num_tensor_in` (B, n) tensor inputs plus the given
-    (L, n) table inputs, tiled over the batch with padding."""
+          interpret: bool, num_bcast_in: int = 0):
+    """Build a runner for `num_tensor_in` (B, n) tensor inputs, then
+    `num_bcast_in` (1, n) rows broadcast to every tile (fixed-operand
+    spectra), plus the given (L, n) table inputs, tiled over the batch with
+    padding."""
     n, L = tbl.n, tbl.logn
     tables = tuple(jnp.asarray(t) for t in tables)
 
     def run(*tensors):
+        bcast = tuple(v.reshape(1, n) for v in tensors[num_tensor_in:])
+        tensors = tensors[:num_tensor_in]
         shape = tensors[0].shape
         tensors = tuple(v.reshape(-1, n) for v in tensors)
         B = tensors[0].shape[0]
@@ -148,6 +164,9 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
         tens_specs = [pl.BlockSpec((tile, n), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for _ in range(num_tensor_in)]
+        tens_specs += [pl.BlockSpec((1, n), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(len(bcast))]
         tab_specs = [pl.BlockSpec((L, n), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in range(len(tables))]
@@ -159,7 +178,7 @@ def _call(kernel, tbl: NttTables, num_tensor_in: int, tables, tile_b: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
             interpret=interpret,
-        )(*tensors, *tables)
+        )(*tensors, *bcast, *tables)
         out = out[:B] if pad else out
         return out.reshape(shape)
 
@@ -182,6 +201,31 @@ def polymul_fused_fn(name: str, tile_b: int | None = None,
 
     def fn(x, y):
         return run(jnp.asarray(x, jnp.uint32), jnp.asarray(y, jnp.uint32))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_fixed_fused_fn(name: str, tile_b: int | None = None,
+                           interpret: bool = False):
+    """Jitted fixed-operand fused polymul: (B, n) x spectrum (n,) -> (B, n).
+    The measured tiny-batch latency winner (no digit tables to stage);
+    spectrum convention identical to polymul_fixed_mxu_fn (canonical
+    merged-order forward NTT of the constant operand)."""
+    tbl = get_tables(name)
+    ps = tbl.ps
+    n = tbl.n
+    kernel = functools.partial(
+        _polymul_fixed_kernel, n=n, L=tbl.logn, q=tbl.q,
+        r32=ps.r32, r32_sh=ps.r32_shoup, one_sh=ps.one_shoup)
+    run = _call(kernel, tbl, 1,
+                (tbl.ct_fwd_full_signed, tbl.ct_fwd_full_signed_shoup,
+                 tbl.gs_inv_full, tbl.gs_inv_full_shoup),
+                _tile_b(n, tile_b), interpret, num_bcast_in=1)
+
+    def fn(x, yspec):
+        x = jnp.asarray(x, jnp.uint32)
+        return run(x, jnp.asarray(yspec, jnp.uint32))
 
     return jax.jit(fn)
 

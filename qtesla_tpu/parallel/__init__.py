@@ -5,3 +5,9 @@ from .sharded import (  # noqa: F401
     polymul_fourstep_sharded_fn,
     ntt_fourstep_sharded_fn,
 )
+from .distributed import (  # noqa: F401
+    init_distributed,
+    make_global_mesh,
+    global_batch,
+    local_shard,
+)

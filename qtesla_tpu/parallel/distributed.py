@@ -1,0 +1,94 @@
+"""Multi-host (multi-process) execution layer.
+
+The reference is single-GPU/single-process (SURVEY.md §2.4); BASELINE.md's
+north star asks for batch scaling "1 chip -> 1 host -> N>=2 hosts".  This
+module is the DCN story: `jax.distributed` initialization, a hosts-major
+global mesh whose data axis spans processes (batch shards ride DCN — the
+embarrassingly-parallel axis) while the model axis stays inside one process
+(four-step all_to_alls ride ICI only), and helpers to assemble global arrays
+from per-process batch shards.
+
+Tested without a pod: two spawned CPU-backend processes with the JAX
+coordination service and gloo cross-process collectives run the same code
+path bit-exactly (tests/test_distributed.py), mirroring how the virtual
+8-CPU-device mesh stands in for one multi-chip host.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["init_distributed", "make_global_mesh", "global_batch",
+           "local_shard"]
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize the JAX distributed runtime (multi-host entry point).
+
+    Arguments default to the standard environment variables
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    cloud-TPU metadata on a real pod).  Safe to call once per process,
+    BEFORE any device query.  On CPU backends this also selects gloo
+    cross-process collectives so the same mesh code runs in tests."""
+    # NOTE: must not touch jax.devices()/process_count() here — any backend
+    # query before initialize() permanently forecloses distributed init
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_mesh(model: int = 1) -> Mesh:
+    """(data, model) mesh over ALL processes' devices, hosts-major.
+
+    jax.devices() enumerates devices process-major, so reshaping to
+    (n_global // model, model) puts the data axis across hosts (DCN) first
+    and keeps each model group inside one process (ICI) — collectives of
+    the four-step SP path never cross DCN.  `model` must divide the
+    per-process device count."""
+    devs = jax.devices()
+    per_proc = len(jax.local_devices())
+    if per_proc % model != 0:
+        raise ValueError(
+            f"model={model} must divide local device count {per_proc}")
+    arr = np.asarray(devs).reshape(len(devs) // model, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def global_batch(mesh: Mesh, local_x: np.ndarray, pspec: P | None = None):
+    """Assemble a global batch-sharded array from this process's local
+    batch shard (every process calls this with its OWN rows; the global
+    batch is the process-major concatenation).  `pspec` defaults to batch
+    over every mesh axis (the DP layout); pass P('data', None) for inputs
+    to the four-step SP pipelines."""
+    if pspec is None:
+        pspec = P(("data", "model"))
+    sharding = NamedSharding(mesh, pspec)
+    return jax.make_array_from_process_local_data(sharding, local_x)
+
+
+def local_shard(z) -> np.ndarray:
+    """This process's rows of a batch-sharded global result, as one numpy
+    array (host-local; no cross-process traffic)."""
+    shards = {}
+    for s in z.addressable_shards:      # dedupe replicas (e.g. model axis)
+        shards.setdefault(s.index[0].start or 0, np.asarray(s.data))
+    return np.concatenate([shards[k] for k in sorted(shards)], axis=0)

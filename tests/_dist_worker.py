@@ -1,0 +1,67 @@
+"""Worker for the 2-process multi-host CPU test (tests/test_distributed.py).
+
+Each process owns 2 virtual CPU devices; together they form a 2-host,
+4-device cluster wired through the JAX coordination service — the same
+`jax.distributed` + hosts-major-mesh code path a real multi-host TPU pod
+uses, minus the hardware (SURVEY.md §5 distributed row, BASELINE.md:28).
+
+Usage: python tests/_dist_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax already (env vars too late); config
+# still works before any backend query
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qtesla_tpu.models import polymul_negacyclic  # noqa: E402
+from qtesla_tpu.params import get_params  # noqa: E402
+from qtesla_tpu.parallel import polymul_dp_fn  # noqa: E402
+from qtesla_tpu.parallel.distributed import (  # noqa: E402
+    global_batch, init_distributed, local_shard, make_global_mesh)
+from qtesla_tpu.parallel.sharded import (  # noqa: E402
+    polymul_fourstep_sharded_fn)
+
+init_distributed(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+name = "smallprime"
+ps = get_params(name)
+B = 4 * nproc
+rng = np.random.default_rng(99)       # same full batch on every process
+x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+rows = slice(pid * (B // nproc), (pid + 1) * (B // nproc))
+
+# 1) pure-DP over (data=4, model=1): batch axis spans DCN
+mesh = make_global_mesh(model=1)
+assert mesh.shape["data"] == 2 * nproc
+gx = global_batch(mesh, x[rows])
+gy = global_batch(mesh, y[rows])
+z = polymul_dp_fn(name, mesh, algo="merged")(gx, gy)
+np.testing.assert_array_equal(local_shard(z), want[rows])
+
+# 2) DP x SP over (data=nproc, model=2): the four-step all_to_all stays
+# inside each process (ICI-analog); only batch sharding crosses processes
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+mesh2 = make_global_mesh(model=2)
+gx2 = global_batch(mesh2, x[rows], P("data", None))
+gy2 = global_batch(mesh2, y[rows], P("data", None))
+z2 = polymul_fourstep_sharded_fn(name, mesh2)(gx2, gy2)
+np.testing.assert_array_equal(local_shard(z2), want[rows])
+
+print(f"DIST OK pid={pid}", flush=True)

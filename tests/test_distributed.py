@@ -1,0 +1,45 @@
+"""Multi-host layer test: two real OS processes, each with 2 virtual CPU
+devices, joined through the JAX coordination service — exercises
+jax.distributed init, the hosts-major global mesh, cross-process batch
+assembly, and both the DP and four-step-SP pipelines bit-exactly
+(BASELINE.md:28's "1 chip -> 1 host -> N hosts" plumbing, testable without
+a pod)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cpu_cluster():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=_REPO, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"DIST OK pid={i}" in out, f"worker {i} output:\n{out}"

@@ -139,3 +139,22 @@ def test_batch_shapes_arbitrary(rng, tbl):
     got = np.asarray(_jit(N.ntt_fwd_merged, tbl)(x))
     flat = np.asarray(_jit(N.ntt_fwd_merged, tbl)(x.reshape(6, tbl.n)))
     np.testing.assert_array_equal(got.reshape(6, tbl.n), flat)
+
+
+def test_fused_bitrev_weighting_ops(rng):
+    """Fused bitrev x weighting (reference NTT.cu:494-509) == the explicit
+    two-pass compositions, for both orders."""
+    import jax
+    from qtesla_tpu.ops import ntt as N
+    from qtesla_tpu.ops.tables import get_tables
+    tbl = get_tables("qtesla-iii-speed")
+    v = jnp.asarray(rng.integers(0, tbl.q, (3, tbl.n), dtype=np.uint32))
+    a = np.asarray(jax.jit(
+        lambda u: N.bitrev_weight_ipsi_ninv(u, tbl))(v))
+    b = np.asarray(jax.jit(
+        lambda u: N.weight_ipsi_ninv(N.bitrev_permute(u, tbl), tbl))(v))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(jax.jit(lambda u: N.weight_psi_bitrev(u, tbl))(v))
+    d = np.asarray(jax.jit(
+        lambda u: N.bitrev_permute(N.weight_psi(u, tbl), tbl))(v))
+    np.testing.assert_array_equal(c, d)

@@ -62,3 +62,18 @@ def test_fused_via_models_api(rng):
     z = np.asarray(polymul_fused_fn("smallprime", interpret=True)(x, x))
     want = np.asarray(polymul_negacyclic(x, x, ps, algo="merged"))
     np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed"])
+def test_fused_fixed_operand_bit_exact(rng, name):
+    """Fixed-operand fused kernel (one fwd + pointwise-vs-broadcast-spectrum
+    + inverse) vs the streamed two-operand pipeline."""
+    from qtesla_tpu.ops.ntt_pallas import polymul_fixed_fused_fn
+    ps = get_params(name)
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    A = ntt_fused_fn(name, interpret=True)(a)
+    z = np.asarray(polymul_fixed_fused_fn(name, interpret=True)(x, A))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
