@@ -1,0 +1,134 @@
+"""Device probes for the flagship MXU kernel's streaming-efficiency gap
+(round-2 VERDICT item 1).  Measures, on the real chip:
+
+  floor3/floor2  - pure 3-/2-array Pallas streaming at the kernel's exact
+                   tile shape (the in-Pallas DMA floor)
+  full           - the shipped polymul kernel
+  dma_same       - same pallas_call signature (tables resident, same grid)
+                   but trivial compute: isolates pipeline/DMA cost with the
+                   kernel's own buffer configuration
+  fwd1/fwd2      - 1 vs 2 forward transforms, same streams: the time delta
+                   is pure exposed compute (overlap diagnostic)
+
+Usage: python scripts/probe_mxu.py [--batch 16384] [--tile 256] [--which all]
+"""
+
+import argparse
+import functools
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+from qtesla_tpu.ops import ntt_mxu as M                      # noqa: E402
+from qtesla_tpu.utils.timing import measure                  # noqa: E402
+
+NAME = "qtesla-iii-speed"
+
+
+def _specs(n, tb, k):
+    return [pl.BlockSpec((tb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(k)]
+
+
+def stream_fn(n, tb, narr):
+    """narr-array elementwise stream (read narr-1, write 1)."""
+    if narr == 3:
+        def kernel(x_ref, y_ref, z_ref):
+            z_ref[:] = x_ref[:] + y_ref[:]
+    else:
+        def kernel(x_ref, z_ref):
+            z_ref[:] = x_ref[:] + jnp.uint32(1)
+
+    @jax.jit
+    def fn(*args):
+        B = args[0].shape[0]
+        return pl.pallas_call(
+            kernel, grid=(B // tb,),
+            in_specs=_specs(n, tb, narr - 1),
+            out_specs=_specs(n, tb, 1)[0],
+            out_shape=jax.ShapeDtypeStruct((B, n), jnp.uint32))(*args)
+    return fn
+
+
+def variant_fn(name, tb, which):
+    """Custom kernels sharing the shipped kernel's exact call signature."""
+    mt = M.get_mxu_tables(name)
+    names, arrs, specs = M._table_inputs(mt, True, True)
+
+    def kernel(*refs):
+        x_ref, y_ref = refs[0], refs[1]
+        z_ref = refs[-1]
+        tab = dict(zip(names, refs[2:-1]))
+        if which == "dma_same":
+            z_ref[:] = x_ref[:] + y_ref[:]
+            return
+        X = M._fwd_mxu(M._split_blocks(x_ref, mt), tab, mt)
+        if which == "fwd1":
+            M._store_blocks(z_ref, [M._csub(M._reduce_2q(v, mt), mt.q)
+                                    for v in X], mt)
+            return
+        Y = M._fwd_mxu(M._split_blocks(y_ref, mt), tab, mt)
+        if which == "fwd2":
+            M._store_blocks(
+                z_ref, [M._csub(M._reduce_2q(a + b, mt), mt.q)
+                        for a, b in zip(X, Y)], mt)
+            return
+        Z = [M._pointwise(xb, yb, mt) for xb, yb in zip(X, Y)]
+        if which == "nopointwise":
+            Z = [M._csub(M._reduce_2q(xb + yb, mt), mt.q)
+                 for xb, yb in zip(X, Y)]
+        M._store_blocks(z_ref, M._inv_mxu(Z, tab, mt), mt)
+
+    run = M._flatten_batch(
+        M._make_runner(kernel, mt, 2, names, arrs, specs, tb, False), mt.n)
+    return jax.jit(run)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--which", default="all")
+    args = ap.parse_args()
+    n = 1024
+    B = args.batch
+    rng = np.random.default_rng(0)
+    q = 8404993
+    x = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint32))
+
+    sel = args.which.split(",") if args.which != "all" else [
+        "floor3", "floor2", "full", "dma_same", "fwd1", "fwd2"]
+    gb = B * n * 4 / 1e9
+
+    def report(tag, fn, narr, *a):
+        r = measure(fn, *a, warmup=2, iters=args.iters, chain=True,
+                    items_per_iter=B, name=tag)
+        eff_gbps = narr * gb / r.min_s
+        print(f"{tag:12s} min {r.min_s*1e3:7.3f} ms  med "
+              f"{r.median_s*1e3:7.3f} ms  -> {r.throughput_best/1e6:6.2f} "
+              f"M/s  ({eff_gbps:5.1f} GB/s over {narr} arrays)", flush=True)
+        return r
+
+    for tag in sel:
+        if tag == "floor3":
+            report(tag, stream_fn(n, args.tile, 3), 3, x, y)
+        elif tag == "floor2":
+            report(tag, stream_fn(n, args.tile, 2), 2, x)
+        elif tag == "full":
+            fn = M.polymul_mxu_fn(NAME, tile_b=args.tile)
+            report(tag, fn, 3, x, y)
+        else:
+            report(tag, variant_fn(NAME, args.tile, tag), 3, x, y)
+
+
+if __name__ == "__main__":
+    main()

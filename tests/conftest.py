@@ -6,7 +6,12 @@ import os
 
 # Force-assign (not setdefault): the environment's sitecustomize exports
 # JAX_PLATFORMS=axon, which would silently put tests on the real TPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Opt-out lane: QTESLA_TPU_TESTS=1 leaves the platform alone so
+# tests/test_tpu_device.py can exercise the Mosaic-compiled kernels on real
+# hardware (run it alone: QTESLA_TPU_TESTS=1 pytest tests/test_tpu_device.py).
+_TPU_LANE = os.environ.get("QTESLA_TPU_TESTS") == "1"
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # sitecustomize may already have imported jax, making env vars too late —
 # jax.config.update still works post-import.
 # Persistent compilation cache: the first nontrivial compile in a fresh
@@ -23,7 +28,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    # sitecustomize may already have imported jax, making env vars too late
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,96 @@
+"""Real-TPU device lane: the Mosaic-COMPILED kernels (not interpret mode)
+against the jnp pipelines and adversarial operands, on actual hardware.
+
+The regular suite pins JAX_PLATFORMS=cpu and only ever runs the Pallas
+kernels through the interpreter; a class of bugs exists that only Mosaic
+catches (docs/PERF_NOTES.md: "Changing bitwidths not supported") and a class
+of miscompiles only hardware exposes.  This file is the opt-in lane:
+
+    QTESLA_TPU_TESTS=1 python -m pytest tests/test_tpu_device.py -q
+
+Run it ALONE (the rest of the suite is written for the 8-virtual-CPU mesh).
+Covers every parameter set x {mxu, fused} x {random full-range, adversarial
+all-(q-1)} operands, fixed-operand variants, transform round-trips, and
+ragged/tiny batches, each bit-exact vs the merged jnp pipeline (itself
+oracle-validated in the CPU suite)."""
+
+import os
+
+import numpy as np
+import pytest
+
+_lane = os.environ.get("QTESLA_TPU_TESTS") == "1"
+if _lane:
+    import jax
+    _lane = jax.default_backend() == "tpu"
+
+pytestmark = pytest.mark.skipif(
+    not _lane, reason="TPU device lane: set QTESLA_TPU_TESTS=1 on a TPU "
+                      "host and run this file alone")
+
+SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed", "qtesla-p-i",
+        "qtesla-p-iii"]
+
+
+def _operands(name, batch=64, seed=0):
+    from qtesla_tpu.params import get_params
+    ps = get_params(name)
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+    # adversarial rows: all q-1 (worst-case laziness bounds) and all zeros
+    x[0, :] = ps.q - 1
+    y[0, :] = ps.q - 1
+    x[1, :] = 0
+    return ps, x, y
+
+
+@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("algo", ["mxu", "fused"])
+def test_polymul_kernels_on_device(name, algo):
+    from qtesla_tpu.models import polymul_negacyclic
+    ps, x, y = _operands(name)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo=algo))
+    want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", ["qtesla-iii-speed", "qtesla-p-iii"])
+@pytest.mark.parametrize("algo", ["mxu", "fused"])
+def test_fixed_operand_on_device(name, algo):
+    import jax.numpy as jnp
+    from qtesla_tpu.models import polymul_fixed_fn, polymul_negacyclic
+    ps, x, _ = _operands(name, batch=33)    # ragged: exercises pad path
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    prep, mul = polymul_fixed_fn(name, algo)
+    z = np.asarray(mul(jnp.asarray(x), prep(jnp.asarray(a))))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_roundtrip_on_device(name):
+    import jax.numpy as jnp
+    from qtesla_tpu.ops.ntt_mxu import intt_mxu_fn, ntt_mxu_fn
+    from qtesla_tpu.ops.ntt_pallas import intt_fused_fn, ntt_fused_fn
+    ps, x, _ = _operands(name, batch=16)
+    xj = jnp.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(intt_mxu_fn(name)(ntt_mxu_fn(name)(xj))), x)
+    np.testing.assert_array_equal(
+        np.asarray(intt_fused_fn(name)(ntt_fused_fn(name)(xj))), x)
+
+
+def test_tiny_and_ragged_batches_on_device():
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.params import get_params
+    ps = get_params("qtesla-iii-speed")
+    rng = np.random.default_rng(5)
+    for batch in (1, 2, 5, 100):
+        x = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+        z = np.asarray(polymul_negacyclic(x, y, ps, algo="mxu"))
+        want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+        np.testing.assert_array_equal(z, want)
