@@ -148,10 +148,16 @@ def _group_bound(bounds, j0, ln) -> int:
     return sum((256 ** m) * bounds[j0 + m] for m in range(ln))
 
 
-def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int, off: int):
+def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
+                        off: int):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
 
-    Returns (W, const, bounds): W int8 of shape (nb, D, bw, D*bw) with
+    Din is the number of INPUT digit planes (>= the matrix digit count when
+    the operand is lazy — the extra plane is what lets q-i/q-iii skip the
+    pre-split canonicalization chain entirely), Dout the number of digit
+    classes of the centered matrix entries.
+
+    Returns (W, const, bounds): W int8 of shape (nb, Din, bw, Dout*bw) with
     W[b, i, :, j*bw:(j+1)*bw] = digit_j(center(2^{8i} * M_b^T mod q)); const
     uint32 (nb, 1, bw) folding the operand-centering offset `off` (q//2 for
     canonical inputs, lazy-bound//2 for the lazy forward split) and the
@@ -163,9 +169,9 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int, off: int):
     """
     n = M.shape[0]
     nb = n // bw
-    W = np.zeros((nb, D, bw, D * bw), dtype=np.int8)
+    W = np.zeros((nb, Din, bw, Dout * bw), dtype=np.int8)
     colsums = np.zeros((nb, bw), dtype=object)
-    mw = np.zeros((D, D), dtype=np.int64)     # max |digit_j(2^{8i} K)|
+    mw = np.zeros((Din, Dout), dtype=np.int64)   # max |digit_j(2^{8i} K)|
     for b in range(nb):
         Mb = M[b * bw:(b + 1) * bw, b * bw:(b + 1) * bw]
         # block-diagonality sanity: nothing outside the diagonal block
@@ -173,16 +179,16 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int, off: int):
         row[:, b * bw:(b + 1) * bw] = 0
         assert not row.any(), "stage range is not block-local"
         K = Mb.T % q                       # out = x_vec @ K
-        for i in range(D):
+        for i in range(Din):
             Ki = (K * pow(2, 8 * i, q)) % q
             Kc = np.where(Ki > q // 2, Ki - q, Ki)   # centered, |.| <= q/2
-            for jd, dig in enumerate(_balanced_digits(Kc, D)):
+            for jd, dig in enumerate(_balanced_digits(Kc, Dout)):
                 W[b, i, :, jd * bw:(jd + 1) * bw] = dig.astype(np.int8)
                 mw[i, jd] = max(mw[i, jd], np.abs(dig).max())
         colsums[b] = K.sum(axis=0, dtype=object)
     # worst-case |c_j| = sum_i (bw lanes) * (|x digit| <= 128) * max|W digit|
-    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(D)))
-              for j in range(D)]
+    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(Din)))
+              for j in range(Dout)]
     groups = _plan_groups(bounds)
     # const absorbs the centering offset and the per-group +2^31 bias
     # (u_g = g + 2^31 exactly, via two's-complement uint32 view)
@@ -196,13 +202,21 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, D: int, off: int):
 
 
 class MxuTables:
-    """Matmul-form stage tables for one parameter set."""
+    """Matmul-form stage tables for one parameter set.
 
-    def __init__(self, tbl: NttTables):
+    `bw` is the matmul block width: stages with pair distance < bw are
+    folded into the per-block matrices (MXU), the log2(n/bw) wider stages
+    stay as tile-regrouping VPU butterflies.  Wider blocks trade MXU MACs
+    (per-coeff cost ∝ bw·D²) for fewer VPU wide stages — measured win on
+    v5e up to bw=512 at n=1024 because the dots hide behind the VPU work
+    (scripts/probe_mxu.py, 2026-08)."""
+
+    def __init__(self, tbl: NttTables, bw: int | None = None):
         self.tbl = tbl
         n, q, L = tbl.n, tbl.q, tbl.logn
         self.n, self.q, self.logn = n, q, L
-        self.bw = bw = min(_BW_MAX, n)
+        self.bw = bw = min(bw or _BW_MAX, n)
+        assert bw >= 128 or bw == n, "block width must be >= one vreg"
         self.nb = n // bw
         self.Lr = L - bw.bit_length() + 1      # roll stages (distance >= bw)
         self.D = _ndigits(q)
@@ -219,25 +233,38 @@ class MxuTables:
                 lo_bnd = 2 * q
             self.fwd_sched.append((lo_bnd, h_bnd))
             bnd = lo_bnd + h_bnd
-        # if D digits cover the centered lazy range, the forward skips the
-        # canonicalizing csub chain before the digit split entirely
-        span = (256 ** self.D - 1) // 255
-        self.fwd_lazy = (bnd - 1 - (bnd >> 1) <= 127 * span
-                         and (bnd >> 1) <= 128 * span)
+        # The forward digit split may use MORE input planes than the matrix
+        # has digit classes: Df = smallest plane count covering the lazy
+        # wide-stage output bound.  One extra int8 plane + dot (hidden
+        # behind the VPU work) buys skipping the canonicalizing csub chain
+        # before the split — for q-i/q-iii this was previously "provably
+        # impossible" only under the Df == D assumption (PERF_NOTES).
+        def covers(D: int, bound: int) -> bool:
+            span = (256 ** D - 1) // 255
+            return (bound - 1 - (bound >> 1) <= 127 * span
+                    and (bound >> 1) <= 128 * span)
+
+        Df = self.D
+        while not covers(Df, bnd) and Df - self.D < 2:
+            Df += 1
+        self.fwd_lazy = covers(Df, bnd)
+        self.Df = Df if self.fwd_lazy else self.D   # forward input planes
+        self.Di = self.D                            # inverse input planes
         self.fwd_bound = bnd if self.fwd_lazy else q
         self.fwd_off = self.fwd_bound >> 1
         self.inv_off = q >> 1
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
-            _fwd_matrix(tbl, self.Lr), q, bw, self.D, self.fwd_off)
+            _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off)
         (self.wi, self.consti, self.bounds_i,
          self.groups_i) = _block_digit_tables(
-            _inv_matrix(tbl, L - self.Lr), q, bw, self.D, self.inv_off)
+            _inv_matrix(tbl, L - self.Lr), q, bw, self.Di, self.D,
+            self.inv_off)
 
 
 @functools.lru_cache(maxsize=None)
-def get_mxu_tables(name: str) -> MxuTables:
-    return MxuTables(get_tables(name))
+def get_mxu_tables(name: str, bw: int | None = None) -> MxuTables:
+    return MxuTables(get_tables(name), bw)
 
 
 # ----------------------------------------------------------------------
@@ -265,7 +292,7 @@ def _digit_planes(v, off: int, D: int):
 
 
 def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
-                      groups, bounds):
+                      groups, bounds, din: int):
     """One block's stage matrix: int8 MXU matmuls + packed Shoup
     recombination.  Input: D digit planes (TB, bw) int8 of this block's
     centered values; output (TB, bw) uint32, lazy, congruent mod q.
@@ -277,9 +304,9 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
     Shoup multiply by 2^{8 j0} mod q.  Worst-case magnitudes are tracked as
     python ints; conditional subtracts are inserted only where the uint32
     sum could otherwise overflow."""
-    bw, D, q = mt.bw, mt.D, mt.q
+    bw, q = mt.bw, mt.q
     acc = None
-    for i in range(D):
+    for i in range(din):
         p = lax.dot_general(planes_b[i], w_ref[b, i],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
@@ -315,12 +342,13 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
 
 
 def _block_matmul(blocks, w_ref, const_ref, mt: MxuTables, groups, bounds,
-                  off: int):
+                  off: int, din: int):
     """Stage matrix over the block-list representation: per 128-lane block,
-    digit split (centered at `off`) -> int8 dot -> packed recombination.
-    No concatenation — data stays as nb separate (TB, bw) tiles."""
-    return [_one_block_matmul(_digit_planes(blk, off, mt.D), b,
-                              w_ref, const_ref, mt, groups, bounds)
+    digit split (centered at `off`, `din` planes) -> int8 dot -> packed
+    recombination.  No concatenation — data stays as nb separate (TB, bw)
+    tiles."""
+    return [_one_block_matmul(_digit_planes(blk, off, din), b,
+                              w_ref, const_ref, mt, groups, bounds, din)
             for b, blk in enumerate(blocks)]
 
 
@@ -444,7 +472,7 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
     if mt.Lr:
         blocks = _fwd_rolls(blocks, mt)
     return _block_matmul(blocks, refs["wf"], refs["constf"], mt,
-                         mt.groups_f, mt.bounds_f, mt.fwd_off)
+                         mt.groups_f, mt.bounds_f, mt.fwd_off, mt.Df)
 
 
 def _reduce_2q(v, mt: MxuTables):
@@ -470,7 +498,7 @@ def _pointwise(xb, yb, mt: MxuTables):
 def _inv_mxu(blocks_canon, refs, mt: MxuTables):
     """Full inverse NTT from canonical blocks; canonical blocks out."""
     blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
-                           mt.groups_i, mt.bounds_i, mt.inv_off)
+                           mt.groups_i, mt.bounds_i, mt.inv_off, mt.Di)
     # reduce lazy recombination sums into [0, 2q)
     blocks = [_reduce_2q(v, mt) for v in blocks]
     if mt.Lr:
@@ -579,10 +607,10 @@ def _tile_b(mt: MxuTables, requested: int | None) -> int:
 
 @functools.lru_cache(maxsize=None)
 def polymul_mxu_fn(name: str, tile_b: int | None = None,
-                   interpret: bool = False):
+                   interpret: bool = False, bw: int | None = None):
     """Jitted MXU-matmul negacyclic polymul: (B, n) x (B, n) -> (B, n),
     bit-identical to algo='merged'/'fused'."""
-    mt = get_mxu_tables(name)
+    mt = get_mxu_tables(name, bw)
     ps = mt.tbl.ps
     names, arrs, specs = _table_inputs(mt, True, True)
 
@@ -606,13 +634,13 @@ def polymul_mxu_fn(name: str, tile_b: int | None = None,
 
 @functools.lru_cache(maxsize=None)
 def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False, bw: int | None = None):
     """Jitted fixed-operand negacyclic polymul: (B, n) x spectrum (n,) ->
     (B, n).  The second operand's forward NTT is precomputed once (use
     ntt_mxu_fn / models.ntt), so each product costs one forward + one
     inverse transform and streams only x and z — the qTESLA
     verification-shaped workload (fixed public polynomial a)."""
-    mt = get_mxu_tables(name)
+    mt = get_mxu_tables(name, bw)
     names, arrs, specs = _table_inputs(mt, True, True)
     n = mt.n
 
@@ -640,9 +668,9 @@ def polymul_fixed_mxu_fn(name: str, tile_b: int | None = None,
 
 @functools.lru_cache(maxsize=None)
 def ntt_mxu_fn(name: str, tile_b: int | None = None,
-               interpret: bool = False):
+               interpret: bool = False, bw: int | None = None):
     """Jitted forward NTT (canonical out), bit-identical to ntt_fwd_merged."""
-    mt = get_mxu_tables(name)
+    mt = get_mxu_tables(name, bw)
     names, arrs, specs = _table_inputs(mt, True, False)
 
     def kernel(*refs):
@@ -659,9 +687,9 @@ def ntt_mxu_fn(name: str, tile_b: int | None = None,
 
 @functools.lru_cache(maxsize=None)
 def intt_mxu_fn(name: str, tile_b: int | None = None,
-                interpret: bool = False):
+                interpret: bool = False, bw: int | None = None):
     """Jitted inverse NTT, bit-identical to intt_inv_merged."""
-    mt = get_mxu_tables(name)
+    mt = get_mxu_tables(name, bw)
     names, arrs, specs = _table_inputs(mt, False, True)
 
     def kernel(*refs):

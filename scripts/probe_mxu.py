@@ -57,6 +57,95 @@ def stream_fn(n, tb, narr):
     return fn
 
 
+def compute_only_fn(name, tb, B, which="compute_only"):
+    """The full kernel body over the same grid, but with CONSTANT block
+    index maps: each operand block is fetched once (invariant inputs are
+    not re-fetched per grid step — measured round 1), so the loop time is
+    pure compute+MXU with no streaming.  Separates compute-bound from
+    DMA-bound."""
+    mt = M.get_mxu_tables(name)
+    names, arrs, specs = M._table_inputs(mt, True, True)
+    n = mt.n
+
+    import jax.numpy as jnp2
+
+    def kernel(*refs):
+        x_ref, y_ref = refs[0], refs[1]
+        z_ref = refs[-1]
+        tab = dict(zip(names, refs[2:-1]))
+        blocks = M._split_blocks(x_ref, mt)
+        if which == "co_wide":                    # wide stages only
+            M._store_blocks(z_ref, M._fwd_rolls(blocks, mt), mt)
+            return
+        if which == "co_store":                   # load + store only
+            M._store_blocks(z_ref, blocks, mt)
+            return
+        if which == "co_shoup8":                  # 8 tile shoups (= 2 stages'
+            from qtesla_tpu.ops.modmul import shoup_mulmod_sloppy  # noqa
+            ws = mt.tbl.ct_fwd_stages[0][0].reshape(-1)
+            wsh = mt.tbl.ct_fwd_stages[0][1].reshape(-1)
+            M._store_blocks(z_ref, [
+                shoup_mulmod_sloppy(b_, np.uint32(ws[0]), np.uint32(wsh[0]),
+                                    mt.q) for b_ in blocks], mt)
+            return
+        if which == "co_addsub":                  # adds/subs only, 3 stages
+            for _ in range(3):
+                half = len(blocks) // 2
+                blocks = ([blocks[k] + blocks[half + k] for k in range(half)]
+                          + [blocks[k] - blocks[half + k] +
+                             np.uint32(4 * mt.q) for k in range(half)])
+            M._store_blocks(z_ref, blocks, mt)
+            return
+        if which == "co_split":                   # wide + digit split
+            blocks = M._fwd_rolls(blocks, mt)
+            outs = []
+            for blk in blocks:
+                planes = M._digit_planes(blk, mt.fwd_off, mt.D)
+                acc = planes[0].astype(jnp2.uint32)
+                for p in planes[1:]:
+                    acc = acc + p.astype(jnp2.uint32)
+                outs.append(acc)
+            M._store_blocks(z_ref, outs, mt)
+            return
+        if which == "co_dots":                    # wide + split + MXU dots
+            from jax import lax as lax2
+            blocks = M._fwd_rolls(blocks, mt)
+            outs = []
+            for b, blk in enumerate(blocks):
+                planes = M._digit_planes(blk, mt.fwd_off, mt.D)
+                acc = None
+                for i in range(mt.D):
+                    p = lax2.dot_general(
+                        planes[i], tab["wf"][b, i], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp2.int32)
+                    acc = p if acc is None else acc + p
+                outs.append(acc[:, :mt.bw].astype(jnp2.uint32))
+            M._store_blocks(z_ref, outs, mt)
+            return
+        X = M._fwd_mxu(blocks, tab, mt)           # + recombination
+        if which == "co_fwd1":
+            M._store_blocks(z_ref, X, mt)
+            return
+        Y = M._fwd_mxu(M._split_blocks(y_ref, mt), tab, mt)
+        Z = [M._pointwise(xb, yb, mt) for xb, yb in zip(X, Y)]
+        M._store_blocks(z_ref, M._inv_mxu(Z, tab, mt), mt)
+
+    const_spec = pl.BlockSpec((tb, n), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def fn(x, y):
+        return pl.pallas_call(
+            kernel, grid=(B // tb,),
+            in_specs=[const_spec, const_spec] + specs,
+            out_specs=const_spec,
+            out_shape=jax.ShapeDtypeStruct((tb, n), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(x[:tb], y[:tb], *arrs)
+    return fn
+
+
 def variant_fn(name, tb, which):
     """Custom kernels sharing the shipped kernel's exact call signature."""
     mt = M.get_mxu_tables(name)
@@ -126,6 +215,9 @@ def main():
         elif tag == "full":
             fn = M.polymul_mxu_fn(NAME, tile_b=args.tile)
             report(tag, fn, 3, x, y)
+        elif tag == "compute_only" or tag.startswith("co_"):
+            report(tag, compute_only_fn(NAME, args.tile, B, tag), 3,
+                   x[:args.tile], y[:args.tile])
         else:
             report(tag, variant_fn(NAME, args.tile, tag), 3, x, y)
 
