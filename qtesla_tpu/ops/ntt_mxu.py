@@ -304,15 +304,24 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
     Shoup multiply by 2^{8 j0} mod q.  Worst-case magnitudes are tracked as
     python ints; conditional subtracts are inserted only where the uint32
     sum could otherwise overflow."""
-    bw, q = mt.bw, mt.q
+    return _recombine_classes(planes_b,
+                              [w_ref[b, i] for i in range(din)],
+                              const_ref[b], mt.bw, mt.q,
+                              mt.tbl.ps.one_shoup, groups, bounds)
+
+
+def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
+                       one_shoup: int, groups, bounds):
+    """int8 digit planes (TB, bw) -> int8 dots against the matching
+    (bw, Dout*bw) table slices -> Horner-packed class recombination (see
+    _one_block_matmul docstring).  Returns lazy uint32 (TB, bw)."""
     acc = None
-    for i in range(din):
-        p = lax.dot_general(planes_b[i], w_ref[b, i],
-                            (((1,), (0,)), ((), ())),
+    for p_i, w_i in zip(planes, w_slices):
+        p = lax.dot_general(p_i, w_i, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
         acc = p if acc is None else acc + p
     # terms: (value uint32, exact worst-case bound as python int)
-    terms = [(const_ref[b], q - 1)]
+    terms = [(const_row, q - 1)]
     for j0, ln in groups:
         g = acc[:, (j0 + ln - 1) * bw:(j0 + ln) * bw]
         for m in range(ln - 2, -1, -1):
@@ -332,7 +341,7 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
         for v, bd in terms:
             if bd >= 2 * q:
                 v = _csub(shoup_mulmod_sloppy(
-                    v, jnp.uint32(1), jnp.uint32(mt.tbl.ps.one_shoup), q),
+                    v, jnp.uint32(1), jnp.uint32(one_shoup), q),
                     2 * q)
                 bd = 2 * q - 1
             red.append((_csub(v, q), q - 1))

@@ -5,6 +5,10 @@ from .sharded import (  # noqa: F401
     polymul_fourstep_sharded_fn,
     ntt_fourstep_sharded_fn,
 )
+from .sharded_mxu import (  # noqa: F401
+    polymul_fourstep_mxu_fn,
+    polymul_fixed_fourstep_mxu_fn,
+)
 from .distributed import (  # noqa: F401
     init_distributed,
     make_global_mesh,

@@ -207,8 +207,40 @@ def _build(name: str, mesh: Mesh, n1: int | None, with_weighting: bool = True):
 
 
 def polymul_fourstep_sharded_fn(name: str, mesh: Mesh,
-                                n1: int | None = None):
+                                n1: int | None = None,
+                                local: str = "auto"):
     """Jitted sharded negacyclic polymul: (B, n) x (B, n) -> (B, n), batch
-    over 'data', intra-transform over 'model' (four-step + all_to_all)."""
+    over 'data', intra-transform over 'model' (four-step + all_to_all).
+
+    `local` selects the LOCAL column/row transform implementation:
+    'mxu' = the fused Pallas digit-matmul kernels (sharded_mxu.py, the
+    perf path), 'jnp' = the Stockham jnp pipeline (runs anywhere,
+    including interpret-free CPU), 'auto' = mxu on a TPU backend when the
+    config supports it, else jnp.  Both are bit-exact."""
+    if mesh.shape["model"] == 1 and local in ("auto", "mxu"):
+        try:
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                # a four-step with one shard has no collectives and equals
+                # the single-chip pipeline — route straight to the
+                # flagship MXU kernel under batch DP
+                return polymul_dp_fn(name, mesh, algo="mxu")
+        except Exception:
+            pass
+    if local == "auto":
+        local = "jnp"
+        try:
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                from .sharded_mxu import fourstep_mxu_plans
+                tbl = get_tables(name)
+                fourstep_mxu_plans(name, n1 or 1 << (tbl.logn // 2),
+                                   mesh.shape["model"])
+                local = "mxu"
+        except Exception:
+            pass
+    if local == "mxu":
+        from .sharded_mxu import polymul_fourstep_mxu_fn
+        return polymul_fourstep_mxu_fn(name, mesh, n1)
     _, polymul_jit, _ = _build(name, mesh, n1)
     return polymul_jit

@@ -1,0 +1,476 @@
+"""MXU-fast local compute for the sharded four-step polymul.
+
+Round 1's SP path ran its local column/row transforms as jnp Stockham —
+the algorithm family measured ~8x slower than the flagship MXU kernel
+(round-2 VERDICT item 2).  This module replaces every local step with a
+fused Pallas kernel built on the same int8 digit-matmul machinery as
+ops/ntt_mxu.py:
+
+  segment 1 (per operand, pre-all_to_all):   psi-weight + n1-point column
+      NTT + w^(k1*j2) twiddle — folded offline into ONE dense per-device
+      (nloc x nloc) mod-q matrix, nloc = n/k (the twiddle/weight slices
+      depend on the device's j2 offset, so the stacked tables are sharded
+      over the model axis and each device reads its own matrix)
+  segment 2 (post-all_to_all):   n2-point row NTTs of both operands +
+      pointwise + inverse row NTT with the w^(-k1*j2) correction folded
+      into the per-(device, row) inverse block matrices — one kernel
+  segment 3 (post-inverse-all_to_all):  inverse column NTT + n1^{-1} +
+      psi^{-i} — one dense per-device matrix
+
+Between segments the arrays live in the same (B, n1, n2)/(B, n1/k, n2)
+layouts as parallel/sharded.py, and the lax.all_to_all reshards are
+identical — results are bit-exact vs the jnp path (tests/test_sharded.py).
+
+The matrices are built numerically by pushing identity bases through the
+very jnp sub-transforms the slow path uses (ops.ntt.stockham_fwd/inv on
+_subtables), then composed with the exact weight/twiddle tables — no
+re-derivation of root conventions, so bit-compatibility is by construction.
+
+Reference analog: NTT.cu:767-802 (the four-step GPU kernel) — but there it
+is a single-device curiosity; here it is the multi-chip perf path
+(SURVEY.md §2.4 four-step row, hard part #3).
+"""
+
+from __future__ import annotations
+
+import functools
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import ntt as N
+from ..ops.modmul import fast_reduce_2q, mulmod_barrett
+from ..ops.ntt import _subtables
+from ..ops.ntt_mxu import (_csub, _digit_planes, _ndigits, _balanced_digits,
+                           _plan_groups, _recombine_classes)
+from ..ops.tables import get_tables
+
+__all__ = ["polymul_fourstep_mxu_fn", "polymul_fixed_fourstep_mxu_fn",
+           "fourstep_mxu_plans"]
+
+_MAX_DENSE = 512          # largest dense local matrix we are willing to pay
+
+
+def _transform_matrix(sub_tbl, inverse: bool) -> np.ndarray:
+    """(m, m) object-int matrix R with y = x @ R == stockham_{fwd,inv} on
+    the last axis (the exact jnp sub-transform, including its n^{-1} when
+    inverse) — built by pushing the identity basis through the real code."""
+    m = sub_tbl.n
+    eye = np.eye(m, dtype=np.uint32)
+    if inverse:
+        out = np.asarray(N.stockham_inv(jnp.asarray(eye), sub_tbl))
+    else:
+        out = np.asarray(N.stockham_fwd(jnp.asarray(eye), sub_tbl))
+    return out.astype(object)
+
+
+def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int):
+    """Digit-matmul tables for a stack of exact mod-q matrices sharing ONE
+    recombination plan (groups/bounds are worst-case over the stack, so a
+    single compiled kernel serves every device/block).
+
+    Ms: object ndarray (..., bw, bw), canonical entries; input operands are
+    canonical uint32 (off = q//2, din = Dout digit planes).  Returns a
+    namespace with W int8 (..., din, bw, Dout*bw), const uint32
+    (..., 1, bw), groups, bounds."""
+    bw = Ms.shape[-1]
+    lead = Ms.shape[:-2]
+    D = _ndigits(q)
+    off = q >> 1
+    W = np.zeros(lead + (D, bw, D * bw), dtype=np.int8)
+    const = np.zeros(lead + (1, bw), dtype=np.uint32)
+    colsums = np.zeros(lead + (bw,), dtype=object)
+    mw = np.zeros((D, D), dtype=np.int64)
+    for idx in np.ndindex(*lead) if lead else [()]:
+        K = (Ms[idx].astype(object)) % q      # out = x @ K
+        for i in range(D):
+            Ki = (K * pow(2, 8 * i, q)) % q
+            Kc = np.where(Ki > q // 2, Ki - q, Ki)
+            for jd, dig in enumerate(_balanced_digits(
+                    Kc.astype(np.int64), D)):
+                W[idx + (i, slice(None), slice(jd * bw, (jd + 1) * bw))] = \
+                    dig.astype(np.int8)
+                mw[i, jd] = max(mw[i, jd], np.abs(dig).max())
+        colsums[idx] = K.sum(axis=0)
+    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(D)))
+              for j in range(D)]
+    groups = _plan_groups(bounds)
+    bias_sum = sum((1 << 31) * pow(2, 8 * j0, q) for j0, _ in groups)
+    for idx in np.ndindex(*lead) if lead else [()]:
+        const[idx + (0,)] = np.asarray(
+            [(off * int(cs) - bias_sum) % q for cs in colsums[idx]],
+            dtype=np.uint32)
+    return types.SimpleNamespace(W=W, const=const, groups=groups,
+                                 bounds=bounds, bw=bw, din=D, off=off,
+                                 q=q, one_shoup=one_shoup)
+
+
+def _apply_plan(x_block, w_slices, const_row, plan):
+    """(TB, bw) canonical -> (TB, bw) canonical through one plan matrix."""
+    planes = _digit_planes(x_block, plan.off, plan.din)
+    lazy = _recombine_classes(planes, w_slices, const_row, plan.bw, plan.q,
+                              plan.one_shoup, plan.groups, plan.bounds)
+    return _csub(fast_reduce_2q(lazy, plan.q, plan.one_shoup), plan.q)
+
+
+@functools.lru_cache(maxsize=None)
+def fourstep_mxu_plans(name: str, n1: int, k: int):
+    """All digit-matmul plans for one (param set, split, mesh-model size).
+
+    Layout/convention contract is parallel/sharded.py's (same
+    _fourstep_tables weights, same stockham sub-transforms, same
+    all_to_all axes)."""
+    from .sharded import _fourstep_tables
+    tbl = get_tables(name)
+    n, q = tbl.n, tbl.q
+    n2 = n // n1
+    assert n1 % k == 0 and n2 % k == 0, (
+        f"model axis {k} must divide both n1={n1} and n2={n2}")
+    n2k, n1k = n2 // k, n1 // k
+    nloc = n1 * n2k
+    if nloc > _MAX_DENSE:
+        raise ValueError(
+            f"local dense matrix {nloc} > {_MAX_DENSE} (n={n}, n1={n1}, "
+            f"model={k}); use a larger model axis or the jnp local path")
+    one_shoup = tbl.ps.one_shoup
+    T = _fourstep_tables(name, n1)
+    phi = T["phi"].astype(object)         # (n1, n2) psi^(j1*n2+j2)
+    W = T["W"].astype(object)             # (n1, n2) w^(k1*j2)
+    Winv = T["Winv"].astype(object)
+    ipsi = T["ipsi"].astype(object)
+    R1 = _transform_matrix(_subtables(name, n1), inverse=False)
+    R1i = _transform_matrix(_subtables(name, n1), inverse=True)
+    R2 = _transform_matrix(_subtables(name, n2), inverse=False)
+    R2i = _transform_matrix(_subtables(name, n2), inverse=True)
+
+    # segment 1: out[(k1,j2l)] = W[k1,j2g] * sum_j1 R1[j1,k1] *
+    #            phi[j1,j2g] * x[(j1,j2l)]  — dense (nloc, nloc) per device
+    M1 = np.zeros((k, nloc, nloc), dtype=object)
+    for d in range(k):
+        for j2l in range(n2k):
+            j2g = d * n2k + j2l
+            blk = (phi[:, j2g, None] * R1 * W[None, :, j2g]) % q  # (j1,k1)
+            M1[d, j2l::n2k, j2l::n2k] = blk
+    # segment 2 forward: per-row n2-point row NTT (same everywhere)
+    M2f = np.broadcast_to((R2 % q)[None], (n1k, n2, n2)).copy()
+    # segment 2 inverse: out[r,j2] = Winv[k1(d,r),j2] * sum_k2 R2i[k2,j2] z
+    M2i = np.zeros((k, n1k, n2, n2), dtype=object)
+    for d in range(k):
+        for r in range(n1k):
+            k1 = d * n1k + r
+            M2i[d, r] = (R2i * Winv[None, k1, :]) % q
+    # segment 3: out[(j1,j2l)] = ipsi[j1,j2g] * sum_k1 R1i[k1,j1] v[(k1,j2l)]
+    M3 = np.zeros((k, nloc, nloc), dtype=object)
+    for d in range(k):
+        for j2l in range(n2k):
+            j2g = d * n2k + j2l
+            blk = (R1i * ipsi[None, :, j2g]) % q                 # (k1,j1)
+            M3[d, j2l::n2k, j2l::n2k] = blk
+    return types.SimpleNamespace(
+        n=n, q=q, n1=n1, n2=n2, k=k, n1k=n1k, n2k=n2k, nloc=nloc,
+        ps=tbl.ps,
+        p1=_digit_plan(M1, q, one_shoup),
+        p2f=_digit_plan(M2f, q, one_shoup),
+        p2i=_digit_plan(M2i, q, one_shoup),
+        p3=_digit_plan(M3, q, one_shoup))
+
+
+# ----------------------------------------------------------------------
+# Pallas kernels.
+# ----------------------------------------------------------------------
+
+def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
+            interpret: bool, n_out: int = 1):
+    """Batch-tiled pallas_call over (Bl, nloc) local arrays + broadcast
+    rows + whole-table inputs (mirrors ntt_mxu._make_runner).  Table
+    arrays are passed at CALL time — under shard_map they are the
+    device-local slices of the stacked per-device tables."""
+
+    def run(*args):
+        tensors = tuple(v.reshape(-1, nloc) for v in args[:n_in])
+        bcast = tuple(v.reshape(1, nloc)
+                      for v in args[n_in:n_in + n_bcast])
+        tables = args[n_in + n_bcast:]
+        B = tensors[0].shape[0]
+        tile = min(tile_b, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tile
+        if pad:
+            tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
+        Bp = B + pad
+        specs = [pl.BlockSpec((tile, nloc), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * n_in
+        specs += [pl.BlockSpec((1, nloc), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * n_bcast
+        specs += [pl.BlockSpec(t.shape, (lambda *_, nd=t.ndim: (0,) * nd),
+                               memory_space=pltpu.VMEM) for t in tables]
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        osp = pl.BlockSpec((tile, nloc), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        osh = jax.ShapeDtypeStruct((Bp, nloc), jnp.uint32)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tile,),
+            in_specs=specs,
+            out_specs=osp if n_out == 1 else [osp] * n_out,
+            out_shape=osh if n_out == 1 else [osh] * n_out,
+            interpret=interpret,
+            **kwargs,
+        )(*tensors, *bcast, *tables)
+        if n_out == 1:
+            return out[:B] if pad else out
+        return tuple(o[:B] if pad else o for o in out)
+
+    return run
+
+
+def _w_slices(w_ref, idx, din):
+    return [w_ref[idx + (i,)] for i in range(din)]
+
+
+def _make_seg1(plans, tile_b, interpret):
+    p = plans.p1
+
+    def kernel(x_ref, w_ref, c_ref, o_ref):
+        o_ref[:] = _apply_plan(x_ref[:], _w_slices(w_ref, (0,), p.din),
+                               c_ref[0], p)
+
+    return _runner(kernel, plans.nloc, 1, 0, tile_b, interpret)
+
+
+def _make_seg1_pair(plans, tile_b, interpret):
+    """Both operands' segment 1 in ONE kernel (halves the fixed per-call
+    cost of the pre-all_to_all stage)."""
+    p = plans.p1
+
+    def kernel(x_ref, y_ref, w_ref, c_ref, ox_ref, oy_ref):
+        sl = _w_slices(w_ref, (0,), p.din)
+        ox_ref[:] = _apply_plan(x_ref[:], sl, c_ref[0], p)
+        oy_ref[:] = _apply_plan(y_ref[:], sl, c_ref[0], p)
+
+    return _runner(kernel, plans.nloc, 2, 0, tile_b, interpret, n_out=2)
+
+
+def _make_seg2(plans, tile_b, interpret):
+    pf, pi = plans.p2f, plans.p2i
+    n2, n1k = plans.n2, plans.n1k
+    ps = plans.ps
+    q = plans.q
+
+    def kernel(x_ref, y_ref, wf_ref, cf_ref, wi_ref, ci_ref, o_ref):
+        for b in range(n1k):
+            sl = slice(b * n2, (b + 1) * n2)
+            X = _apply_plan(x_ref[:, sl], _w_slices(wf_ref, (b,), pf.din),
+                            cf_ref[b], pf)
+            Y = _apply_plan(y_ref[:, sl], _w_slices(wf_ref, (b,), pf.din),
+                            cf_ref[b], pf)
+            Z = mulmod_barrett(X, Y, q, ps.r32, ps.r32_shoup, ps.one_shoup)
+            o_ref[:, sl] = _apply_plan(
+                Z, _w_slices(wi_ref, (0, b), pi.din), ci_ref[0, b], pi)
+
+    return _runner(kernel, plans.nloc, 2, 0, tile_b, interpret)
+
+
+def _make_seg2_fixed(plans, tile_b, interpret):
+    """Fixed-operand segment 2: x rows vs a broadcast spectrum row."""
+    pf, pi = plans.p2f, plans.p2i
+    n2, n1k = plans.n2, plans.n1k
+    ps = plans.ps
+    q = plans.q
+
+    def kernel(x_ref, a_ref, wf_ref, cf_ref, wi_ref, ci_ref, o_ref):
+        for b in range(n1k):
+            sl = slice(b * n2, (b + 1) * n2)
+            X = _apply_plan(x_ref[:, sl], _w_slices(wf_ref, (b,), pf.din),
+                            cf_ref[b], pf)
+            Z = mulmod_barrett(X, a_ref[:, sl], q, ps.r32, ps.r32_shoup,
+                               ps.one_shoup)
+            o_ref[:, sl] = _apply_plan(
+                Z, _w_slices(wi_ref, (0, b), pi.din), ci_ref[0, b], pi)
+
+    return _runner(kernel, plans.nloc, 1, 1, tile_b, interpret)
+
+
+def _make_seg2_fwd_only(plans, tile_b, interpret):
+    """Row-NTT forward blocks only — completes the spectrum for the
+    fixed-operand prepare() (the paired seg2 kernels apply this to the
+    batch operand internally)."""
+    pf = plans.p2f
+    n2, n1k = plans.n2, plans.n1k
+
+    def kernel(x_ref, wf_ref, cf_ref, o_ref):
+        for b in range(n1k):
+            sl = slice(b * n2, (b + 1) * n2)
+            o_ref[:, sl] = _apply_plan(
+                x_ref[:, sl], _w_slices(wf_ref, (b,), pf.din),
+                cf_ref[b], pf)
+
+    return _runner(kernel, plans.nloc, 1, 0, tile_b, interpret)
+
+
+def _make_seg3(plans, tile_b, interpret):
+    p = plans.p3
+
+    def kernel(x_ref, w_ref, c_ref, o_ref):
+        o_ref[:] = _apply_plan(x_ref[:], _w_slices(w_ref, (0,), p.din),
+                               c_ref[0], p)
+
+    return _runner(kernel, plans.nloc, 1, 0, tile_b, interpret)
+
+
+# ----------------------------------------------------------------------
+# Sharded assembly.
+# ----------------------------------------------------------------------
+
+def _build(name: str, mesh: Mesh, n1: int | None, tile_b: int | None,
+           interpret: bool, chunks: int = 1):
+    tbl = get_tables(name)
+    n = tbl.n
+    if n1 is None:
+        n1 = 1 << (tbl.logn // 2)
+    k = mesh.shape["model"]
+    plans = fourstep_mxu_plans(name, n1, k)
+    n2, n2k, n1k, nloc = plans.n2, plans.n2k, plans.n1k, plans.nloc
+    tb = tile_b or 256
+    seg1 = _make_seg1(plans, tb, interpret)
+    seg1p = _make_seg1_pair(plans, tb, interpret)
+    seg2 = _make_seg2(plans, tb, interpret)
+    seg2f = _make_seg2_fixed(plans, tb, interpret)
+    seg2fwd = _make_seg2_fwd_only(plans, tb, interpret)
+    seg3 = _make_seg3(plans, tb, interpret)
+
+    def a2a_fwd(v3):       # (Bl, n1, n2k) -> (Bl, n1k, n2)
+        return lax.all_to_all(v3, "model", split_axis=1, concat_axis=2,
+                              tiled=True)
+
+    def a2a_inv(v3):       # (Bl, n1k, n2) -> (Bl, n1, n2k)
+        return lax.all_to_all(v3, "model", split_axis=2, concat_axis=1,
+                              tiled=True)
+
+    def fwd_to_spectral(xl, w1, c1):
+        B = xl.shape[0]
+        v = seg1(xl.reshape(B, nloc), w1, c1)
+        return a2a_fwd(v.reshape(B, plans.n1, n2k)).reshape(B, nloc)
+
+    def local_polymul(xl, yl, w1, c1, wf, cf, wi, ci, w3, c3):
+        # xl, yl: (Bl, n1, n2k) coefficient-layout local shards.  With
+        # chunks > 1 the batch is split so chunk i's all_to_all is
+        # independent of chunk j's kernels — XLA's async collectives can
+        # then hide the ICI exchange behind neighbouring compute
+        # (SURVEY.md hard part #3; unobservable on one chip, validated
+        # bit-exact on the CPU mesh).
+        B = xl.shape[0]
+        nch = chunks if chunks > 1 and B % chunks == 0 else 1
+        xcs = jnp.split(xl.reshape(B, nloc), nch)
+        ycs = jnp.split(yl.reshape(B, nloc), nch)
+        # two single-output seg1 calls measured faster than one fused
+        # 2-in-2-out kernel (0.857 vs 0.931 ms at B=16k, k=4 — the extra
+        # live buffers hurt the pipeline)
+        vs = [(seg1(xc, w1, c1), seg1(yc, w1, c1))
+              for xc, yc in zip(xcs, ycs)]
+        ws = []
+        for vx, vy in vs:
+            bc = vx.shape[0]
+            vx = a2a_fwd(vx.reshape(bc, plans.n1, n2k)).reshape(bc, nloc)
+            vy = a2a_fwd(vy.reshape(bc, plans.n1, n2k)).reshape(bc, nloc)
+            ws.append(seg2(vx, vy, wf, cf, wi, ci))
+        zs = []
+        for w in ws:
+            bc = w.shape[0]
+            w = a2a_inv(w.reshape(bc, n1k, n2)).reshape(bc, nloc)
+            zs.append(seg3(w, w3, c3))
+        z = jnp.concatenate(zs) if nch > 1 else zs[0]
+        return z.reshape(B, plans.n1, n2k)
+
+    def local_fixed(xl, aspec, w1, c1, wf, cf, wi, ci, w3, c3):
+        B = xl.shape[0]
+        vx = fwd_to_spectral(xl, w1, c1)
+        w = seg2f(vx, aspec.reshape(1, nloc), wf, cf, wi, ci)
+        w = a2a_inv(w.reshape(B, n1k, n2)).reshape(B, nloc)
+        z = seg3(w, w3, c3)
+        return z.reshape(B, plans.n1, n2k)
+
+    coeff = P("data", None, "model")
+    spect_flat = P("data", "model")     # seg2-layout (Bl, n1k*n2) k1-sharded
+    model0 = P("model")
+    tabs = (jnp.asarray(plans.p1.W), jnp.asarray(plans.p1.const),
+            jnp.asarray(plans.p2f.W), jnp.asarray(plans.p2f.const),
+            jnp.asarray(plans.p2i.W), jnp.asarray(plans.p2i.const),
+            jnp.asarray(plans.p3.W), jnp.asarray(plans.p3.const))
+    tab_specs = (model0, model0, P(), P(), model0, model0, model0, model0)
+
+    def polymul(x, y):
+        B = x.shape[0]
+        x3 = x.reshape(B, plans.n1, n2)
+        y3 = y.reshape(B, plans.n1, n2)
+        z3 = jax.shard_map(
+            local_polymul, mesh=mesh,
+            in_specs=(coeff, coeff) + tab_specs,
+            out_specs=coeff, check_vma=False,
+        )(x3, y3, *tabs)
+        return z3.reshape(B, n)
+
+    in_sh = NamedSharding(mesh, P("data", None))
+    polymul_jit = jax.jit(polymul, in_shardings=(in_sh, in_sh),
+                          out_shardings=in_sh)
+
+    def prepare(a):
+        """a (n,) -> SP-spectral layout (k1-sharded flat (n,)): the
+        fixed operand's forward transform, computed once (replicated over
+        the data axis — a is one polynomial)."""
+        a3 = jnp.asarray(a, jnp.uint32).reshape(1, plans.n1, n2)
+        spec = jax.shard_map(
+            lambda al, w1, c1, wf, cf: seg2fwd(
+                fwd_to_spectral(al, w1, c1), wf, cf)[0],
+            mesh=mesh,
+            in_specs=(P(None, None, "model"), model0, model0, P(), P()),
+            out_specs=P("model"), check_vma=False,
+        )(a3, tabs[0], tabs[1], tabs[2], tabs[3])
+        return spec.reshape(n)
+
+    def fixed_mul(x, aspec):
+        B = x.shape[0]
+        x3 = x.reshape(B, plans.n1, n2)
+        z3 = jax.shard_map(
+            local_fixed, mesh=mesh,
+            in_specs=(coeff, P("model")) + tab_specs,
+            out_specs=coeff, check_vma=False,
+        )(x3, aspec, *tabs)
+        return z3.reshape(B, n)
+
+    aspec_sh = NamedSharding(mesh, P("model"))
+    fixed_jit = jax.jit(fixed_mul,
+                        in_shardings=(in_sh, aspec_sh),
+                        out_shardings=in_sh)
+    prepare_jit = jax.jit(prepare, out_shardings=aspec_sh)
+    return polymul_jit, (prepare_jit, fixed_jit)
+
+
+def polymul_fourstep_mxu_fn(name: str, mesh: Mesh, n1: int | None = None,
+                            tile_b: int | None = None,
+                            interpret: bool = False, chunks: int = 1):
+    """Jitted sharded negacyclic polymul with MXU-kernel local compute:
+    (B, n) x (B, n) -> (B, n), batch over 'data', four-step intra-transform
+    over 'model' (2 all_to_alls per transform direction), bit-exact vs the
+    jnp sharded path and the single-chip pipelines."""
+    fn, _ = _build(name, mesh, n1, tile_b, interpret, chunks)
+    return fn
+
+
+def polymul_fixed_fourstep_mxu_fn(name: str, mesh: Mesh,
+                                  n1: int | None = None,
+                                  tile_b: int | None = None,
+                                  interpret: bool = False):
+    """(prepare, multiply) for SP-sharded fixed-operand products: prepare(a)
+    computes the k1-sharded spectrum once; multiply(x, aspec) costs one
+    forward + one inverse local pipeline and 2 all_to_alls."""
+    _, pair = _build(name, mesh, n1, tile_b, interpret)
+    return pair

@@ -124,3 +124,47 @@ def test_polymul_fixed_dp_merged(rng):
     want = np.asarray(polymul_negacyclic(
         x, np.broadcast_to(a, x.shape), ps, algo="merged"))
     np.testing.assert_array_equal(z, want)
+
+
+@needs8
+def test_fourstep_mxu_sharded_bit_exact(data16):
+    """The MXU-kernel SP path (interpret mode on the CPU mesh): same
+    layouts/all_to_alls as the jnp path, local compute through the fused
+    digit-matmul kernels — bit-exact vs the single-device pipeline."""
+    from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
+    ps, x, y, want = data16
+    mesh = make_mesh(data=2, model=4)
+    z = np.asarray(polymul_fourstep_mxu_fn(ps.name, mesh,
+                                           interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)
+
+
+@needs8
+def test_fourstep_mxu_sharded_fixed(data16, rng):
+    from qtesla_tpu.parallel.sharded_mxu import (
+        polymul_fixed_fourstep_mxu_fn)
+    ps, x, _, _ = data16
+    mesh = make_mesh(data=2, model=4)
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    prep, mul = polymul_fixed_fourstep_mxu_fn(ps.name, mesh,
+                                              interpret=True)
+    z = np.asarray(mul(x, prep(a)))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+@needs8
+def test_fourstep_mxu_other_sets(rng):
+    from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
+    for name, mesh in [("qtesla-i", make_mesh(data=2, model=4)),
+                       ("qtesla-p-iii", make_mesh(data=1, model=8))]:
+        ps = get_params(name)
+        x = rng.integers(0, ps.q, (8, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (8, ps.n), dtype=np.uint32)
+        x[0, :] = ps.q - 1
+        y[0, :] = ps.q - 1
+        want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+        z = np.asarray(polymul_fourstep_mxu_fn(name, mesh,
+                                               interpret=True)(x, y))
+        np.testing.assert_array_equal(z, want)
