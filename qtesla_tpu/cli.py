@@ -258,6 +258,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="qtesla_tpu",
         description="TPU-native qTESLA negacyclic polynomial multiplication")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed before any device query "
+                        "(multi-host pods; reads JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID or the cloud "
+                        "metadata)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("info", help="parameter banner for all registered sets")
@@ -308,6 +313,9 @@ def main(argv=None) -> int:
     m.add_argument("-r", "--seed", type=int, default=0)
 
     args = p.parse_args(argv)
+    if args.distributed:
+        from .parallel import init_distributed
+        init_distributed()
     return {"info": cmd_info, "correctness": cmd_correctness,
             "speed": cmd_speed, "sweep": cmd_sweep, "scaling": cmd_scaling,
             "microbench": cmd_microbench}[args.cmd](args)
