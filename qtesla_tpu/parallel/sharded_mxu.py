@@ -186,7 +186,7 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
 # ----------------------------------------------------------------------
 
 def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
-            interpret: bool, n_out: int = 1):
+            interpret: bool):
     """Batch-tiled pallas_call over (Bl, nloc) local arrays + broadcast
     rows + whole-table inputs (mirrors ntt_mxu._make_runner).  Table
     arrays are passed at CALL time — under shard_map they are the
@@ -213,21 +213,17 @@ def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
-        osp = pl.BlockSpec((tile, nloc), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-        osh = jax.ShapeDtypeStruct((Bp, nloc), jnp.uint32)
         out = pl.pallas_call(
             kernel,
             grid=(Bp // tile,),
             in_specs=specs,
-            out_specs=osp if n_out == 1 else [osp] * n_out,
-            out_shape=osh if n_out == 1 else [osh] * n_out,
+            out_specs=pl.BlockSpec((tile, nloc), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, nloc), jnp.uint32),
             interpret=interpret,
             **kwargs,
         )(*tensors, *bcast, *tables)
-        if n_out == 1:
-            return out[:B] if pad else out
-        return tuple(o[:B] if pad else o for o in out)
+        return out[:B] if pad else out
 
     return run
 
@@ -244,19 +240,6 @@ def _make_seg1(plans, tile_b, interpret):
                                c_ref[0], p)
 
     return _runner(kernel, plans.nloc, 1, 0, tile_b, interpret)
-
-
-def _make_seg1_pair(plans, tile_b, interpret):
-    """Both operands' segment 1 in ONE kernel (halves the fixed per-call
-    cost of the pre-all_to_all stage)."""
-    p = plans.p1
-
-    def kernel(x_ref, y_ref, w_ref, c_ref, ox_ref, oy_ref):
-        sl = _w_slices(w_ref, (0,), p.din)
-        ox_ref[:] = _apply_plan(x_ref[:], sl, c_ref[0], p)
-        oy_ref[:] = _apply_plan(y_ref[:], sl, c_ref[0], p)
-
-    return _runner(kernel, plans.nloc, 2, 0, tile_b, interpret, n_out=2)
 
 
 def _make_seg2(plans, tile_b, interpret):
@@ -341,7 +324,6 @@ def _build(name: str, mesh: Mesh, n1: int | None, tile_b: int | None,
     n2, n2k, n1k, nloc = plans.n2, plans.n2k, plans.n1k, plans.nloc
     tb = tile_b or 256
     seg1 = _make_seg1(plans, tb, interpret)
-    seg1p = _make_seg1_pair(plans, tb, interpret)
     seg2 = _make_seg2(plans, tb, interpret)
     seg2f = _make_seg2_fixed(plans, tb, interpret)
     seg2fwd = _make_seg2_fwd_only(plans, tb, interpret)

@@ -94,3 +94,68 @@ def test_tiny_and_ragged_batches_on_device():
         z = np.asarray(polymul_negacyclic(x, y, ps, algo="mxu"))
         want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
         np.testing.assert_array_equal(z, want)
+
+
+def test_sp_segment_kernels_on_device():
+    """The sharded four-step segment kernels, Mosaic-compiled on real
+    hardware (no shard_map — single-chip runs of each per-device kernel
+    against exact numpy object-int matrix arithmetic)."""
+    import jax.numpy as jnp
+    from qtesla_tpu.parallel import sharded_mxu as SM
+    from qtesla_tpu.params import get_params
+
+    name = "qtesla-iii-speed"
+    ps = get_params(name)
+    k = 4
+    n1 = 1 << (ps.logn // 2)
+    plans = SM.fourstep_mxu_plans(name, n1, k)
+    nloc = plans.nloc
+    rng = np.random.default_rng(11)
+    B = 16
+    x = rng.integers(0, ps.q, (B, nloc), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (B, nloc), dtype=np.uint32)
+
+    def matmod(v, M):
+        return ((v.astype(object) @ M.astype(object)) % ps.q
+                ).astype(np.uint32)
+
+    # rebuild the exact per-device matrices the plans were generated from
+    from qtesla_tpu.parallel.sharded import _fourstep_tables
+    from qtesla_tpu.ops.ntt import _subtables
+    T = _fourstep_tables(name, n1)
+    n2 = ps.n // n1
+    n2k, n1k = n2 // k, n1 // k
+    R1 = SM._transform_matrix(_subtables(name, n1), inverse=False)
+    d = 1                                   # exercise a non-trivial device
+    M1 = np.zeros((nloc, nloc), dtype=object)
+    for j2l in range(n2k):
+        j2g = d * n2k + j2l
+        blk = (T["phi"].astype(object)[:, j2g, None] * R1
+               * T["W"].astype(object)[None, :, j2g]) % ps.q
+        M1[j2l::n2k, j2l::n2k] = blk
+
+    seg1 = SM._make_seg1(plans, 256, False)
+    out = np.asarray(seg1(jnp.asarray(x),
+                          jnp.asarray(plans.p1.W[d:d + 1]),
+                          jnp.asarray(plans.p1.const[d:d + 1])))
+    np.testing.assert_array_equal(out, matmod(x, M1))
+
+    # segment 2: row NTTs + pointwise + inverse row (device d, all rows)
+    R2 = SM._transform_matrix(_subtables(name, n2), inverse=False)
+    R2i = SM._transform_matrix(_subtables(name, n2), inverse=True)
+    seg2 = SM._make_seg2(plans, 256, False)
+    out2 = np.asarray(seg2(jnp.asarray(x), jnp.asarray(y),
+                           jnp.asarray(plans.p2f.W),
+                           jnp.asarray(plans.p2f.const),
+                           jnp.asarray(plans.p2i.W[d:d + 1]),
+                           jnp.asarray(plans.p2i.const[d:d + 1])))
+    want2 = np.empty_like(out2)
+    for r in range(n1k):
+        k1 = d * n1k + r
+        sl = slice(r * n2, (r + 1) * n2)
+        X = matmod(x[:, sl], R2)
+        Y = matmod(y[:, sl], R2)
+        Z = ((X.astype(object) * Y.astype(object)) % ps.q)
+        Mi = (R2i * T["Winv"].astype(object)[None, k1, :]) % ps.q
+        want2[:, sl] = ((Z @ Mi.astype(object)) % ps.q).astype(np.uint32)
+    np.testing.assert_array_equal(out2, want2)
