@@ -147,8 +147,8 @@ def cmd_speed(args) -> int:
                         name=f"polymul_fixed[{ps.name},{algo},"
                              f"B={args.batch}]")
             out.append({"algo": f"fixed/{algo}", "batch": args.batch,
-                        "ms_per_iter": r.mean_ms,
-                        "polymuls_per_s": r.throughput})
+                        "ms_per_iter": r.min_s * 1e3,
+                        "polymuls_per_s": r.throughput_best})
             print("  " + r.line())
         if args.json:
             print(json.dumps(out))
@@ -159,8 +159,8 @@ def cmd_speed(args) -> int:
                               iters=args.iters, seed=args.seed,
                               trace_dir=args.trace_dir)
         out.append({"algo": algo, "batch": args.batch,
-                    "ms_per_iter": r.mean_ms,
-                    "polymuls_per_s": r.throughput})
+                    "ms_per_iter": r.min_s * 1e3,
+                    "polymuls_per_s": r.throughput_best})
         print("  " + r.line())
     if args.json:
         print(json.dumps(out))

@@ -148,6 +148,44 @@ def _group_bound(bounds, j0, ln) -> int:
     return sum((256 ** m) * bounds[j0 + m] for m in range(ln))
 
 
+def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
+    """One matrix's int8 digit tables: K (bw, bw) exact ints, INPUT-major
+    (out = x @ K).  Returns (Wblk int8 (Din, bw, Dout*bw), colsum object
+    (bw,)) and accumulates max-|digit| into mw (Din, Dout) — the single
+    shared implementation of the 2^{8i}-scaled centered balanced-digit
+    expansion used by both the single-chip stage tables and the sharded
+    segment plans (parallel/sharded_mxu.py)."""
+    bw = K.shape[0]
+    K = K.astype(object) % q
+    Wblk = np.zeros((Din, bw, Dout * bw), dtype=np.int8)
+    for i in range(Din):
+        Ki = (K * pow(2, 8 * i, q)) % q
+        Kc = np.where(Ki > q // 2, Ki - q, Ki)   # centered, |.| <= q/2
+        for jd, dig in enumerate(_balanced_digits(Kc.astype(np.int64),
+                                                  Dout)):
+            Wblk[i, :, jd * bw:(jd + 1) * bw] = dig.astype(np.int8)
+            mw[i, jd] = max(mw[i, jd], np.abs(dig).max())
+    return Wblk, K.sum(axis=0)
+
+
+def _digit_bounds_groups(mw: np.ndarray, bw: int):
+    """Worst-case |c_j| class bounds from the digit maxima + the int32
+    Horner packing plan + the uint32-bias sum the const rows must fold."""
+    Din, Dout = mw.shape
+    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(Din)))
+              for j in range(Dout)]
+    groups = _plan_groups(bounds)
+    return bounds, groups
+
+
+def _const_row(colsum, off: int, groups, q: int) -> np.ndarray:
+    """Per-output const row folding the operand-centering offset and the
+    per-group +2^31 biases (u_g = g + 2^31 exactly by two's complement)."""
+    bias_sum = sum((1 << 31) * pow(2, 8 * j0, q) for j0, _ in groups)
+    return np.asarray([(off * int(cs) - bias_sum) % q for cs in colsum],
+                      dtype=np.uint32)
+
+
 def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
                         off: int):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
@@ -178,26 +216,11 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
         row = M[b * bw:(b + 1) * bw].copy()
         row[:, b * bw:(b + 1) * bw] = 0
         assert not row.any(), "stage range is not block-local"
-        K = Mb.T % q                       # out = x_vec @ K
-        for i in range(Din):
-            Ki = (K * pow(2, 8 * i, q)) % q
-            Kc = np.where(Ki > q // 2, Ki - q, Ki)   # centered, |.| <= q/2
-            for jd, dig in enumerate(_balanced_digits(Kc, Dout)):
-                W[b, i, :, jd * bw:(jd + 1) * bw] = dig.astype(np.int8)
-                mw[i, jd] = max(mw[i, jd], np.abs(dig).max())
-        colsums[b] = K.sum(axis=0, dtype=object)
-    # worst-case |c_j| = sum_i (bw lanes) * (|x digit| <= 128) * max|W digit|
-    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(Din)))
-              for j in range(Dout)]
-    groups = _plan_groups(bounds)
-    # const absorbs the centering offset and the per-group +2^31 bias
-    # (u_g = g + 2^31 exactly, via two's-complement uint32 view)
-    bias_sum = sum((1 << 31) * pow(2, 8 * j0, q) for j0, _ in groups)
+        W[b], colsums[b] = _matrix_digit_block(Mb.T, q, Din, Dout, mw)
+    bounds, groups = _digit_bounds_groups(mw, bw)
     const = np.zeros((nb, 1, bw), dtype=np.uint32)
     for b in range(nb):
-        const[b, 0, :] = np.asarray(
-            [(off * int(cs) - bias_sum) % q for cs in colsums[b]],
-            dtype=np.uint32)
+        const[b, 0, :] = _const_row(colsums[b], off, groups, q)
     return W, const, bounds, groups
 
 
@@ -244,8 +267,12 @@ class MxuTables:
             return (bound - 1 - (bound >> 1) <= 127 * span
                     and (bound >> 1) <= 128 * span)
 
+        # hard cap Df <= 4: _digit_planes' biased-byte extraction shifts an
+        # int32 by 8*(Df-1) bits and pre-adds a 0x..8080 bias — both break
+        # at 5 planes (out-of-range shift; bias outside int32).  Beyond the
+        # cap the forward falls back to the canonical pre-split csub chain.
         Df = self.D
-        while not covers(Df, bnd) and Df - self.D < 2:
+        while not covers(Df, bnd) and Df < 4:
             Df += 1
         self.fwd_lazy = covers(Df, bnd)
         self.Df = Df if self.fwd_lazy else self.D   # forward input planes

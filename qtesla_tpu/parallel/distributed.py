@@ -87,8 +87,17 @@ def global_batch(mesh: Mesh, local_x: np.ndarray, pspec: P | None = None):
 
 def local_shard(z) -> np.ndarray:
     """This process's rows of a batch-sharded global result, as one numpy
-    array (host-local; no cross-process traffic)."""
+    array (host-local; no cross-process traffic).  Requires the array to
+    be sharded along axis 0 only (replicas allowed) — any non-leading-axis
+    sharding raises instead of silently returning a partial slice."""
     shards = {}
     for s in z.addressable_shards:      # dedupe replicas (e.g. model axis)
+        for dim, idx in enumerate(s.index[1:], start=1):
+            if (idx.start or 0) != 0 or (idx.stop is not None
+                                         and idx.stop != z.shape[dim]):
+                raise ValueError(
+                    f"local_shard expects batch-axis (axis 0) sharding "
+                    f"only; got a shard split along axis {dim} "
+                    f"(sharding {z.sharding})")
         shards.setdefault(s.index[0].start or 0, np.asarray(s.data))
     return np.concatenate([shards[k] for k in sorted(shards)], axis=0)

@@ -47,8 +47,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import ntt as N
 from ..ops.modmul import fast_reduce_2q, mulmod_barrett
 from ..ops.ntt import _subtables
-from ..ops.ntt_mxu import (_csub, _digit_planes, _ndigits, _balanced_digits,
-                           _plan_groups, _recombine_classes)
+from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds_groups,
+                           _digit_planes, _matrix_digit_block, _ndigits,
+                           _recombine_classes)
 from ..ops.tables import get_tables
 
 __all__ = ["polymul_fourstep_mxu_fn", "polymul_fixed_fourstep_mxu_fn",
@@ -87,25 +88,12 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int):
     const = np.zeros(lead + (1, bw), dtype=np.uint32)
     colsums = np.zeros(lead + (bw,), dtype=object)
     mw = np.zeros((D, D), dtype=np.int64)
-    for idx in np.ndindex(*lead) if lead else [()]:
-        K = (Ms[idx].astype(object)) % q      # out = x @ K
-        for i in range(D):
-            Ki = (K * pow(2, 8 * i, q)) % q
-            Kc = np.where(Ki > q // 2, Ki - q, Ki)
-            for jd, dig in enumerate(_balanced_digits(
-                    Kc.astype(np.int64), D)):
-                W[idx + (i, slice(None), slice(jd * bw, (jd + 1) * bw))] = \
-                    dig.astype(np.int8)
-                mw[i, jd] = max(mw[i, jd], np.abs(dig).max())
-        colsums[idx] = K.sum(axis=0)
-    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(D)))
-              for j in range(D)]
-    groups = _plan_groups(bounds)
-    bias_sum = sum((1 << 31) * pow(2, 8 * j0, q) for j0, _ in groups)
-    for idx in np.ndindex(*lead) if lead else [()]:
-        const[idx + (0,)] = np.asarray(
-            [(off * int(cs) - bias_sum) % q for cs in colsums[idx]],
-            dtype=np.uint32)
+    indices = list(np.ndindex(*lead)) if lead else [()]
+    for idx in indices:
+        W[idx], colsums[idx] = _matrix_digit_block(Ms[idx], q, D, D, mw)
+    bounds, groups = _digit_bounds_groups(mw, bw)
+    for idx in indices:
+        const[idx + (0,)] = _const_row(colsums[idx], off, groups, q)
     return types.SimpleNamespace(W=W, const=const, groups=groups,
                                  bounds=bounds, bw=bw, din=D, off=off,
                                  q=q, one_shoup=one_shoup)

@@ -100,7 +100,7 @@ def compute_only_fn(name, tb, B, which="compute_only"):
             blocks = M._fwd_rolls(blocks, mt)
             outs = []
             for blk in blocks:
-                planes = M._digit_planes(blk, mt.fwd_off, mt.D)
+                planes = M._digit_planes(blk, mt.fwd_off, mt.Df)
                 acc = planes[0].astype(jnp2.uint32)
                 for p in planes[1:]:
                     acc = acc + p.astype(jnp2.uint32)
@@ -112,9 +112,9 @@ def compute_only_fn(name, tb, B, which="compute_only"):
             blocks = M._fwd_rolls(blocks, mt)
             outs = []
             for b, blk in enumerate(blocks):
-                planes = M._digit_planes(blk, mt.fwd_off, mt.D)
+                planes = M._digit_planes(blk, mt.fwd_off, mt.Df)
                 acc = None
-                for i in range(mt.D):
+                for i in range(mt.Df):
                     p = lax2.dot_general(
                         planes[i], tab["wf"][b, i], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp2.int32)

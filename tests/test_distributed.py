@@ -43,3 +43,23 @@ def test_two_process_cpu_cluster():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"DIST OK pid={i}" in out, f"worker {i} output:\n{out}"
+
+
+def test_local_shard_rejects_non_batch_sharding():
+    """local_shard must raise on arrays sharded along a non-leading axis
+    instead of silently returning a partial slice (code-review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qtesla_tpu.parallel import local_shard, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, model=2)
+    x = jnp.arange(64, dtype=jnp.uint32).reshape(8, 8)
+    ok = jax.device_put(x, NamedSharding(mesh, P(("data", "model"), None)))
+    np.testing.assert_array_equal(local_shard(ok), np.asarray(x))
+    bad = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    with pytest.raises(ValueError, match="axis 0"):
+        local_shard(bad)
