@@ -4,6 +4,7 @@ from .sharded import (  # noqa: F401
     polymul_fixed_dp_fn,
     polymul_fourstep_sharded_fn,
     ntt_fourstep_sharded_fn,
+    intt_fourstep_sharded_fn,
 )
 from .sharded_mxu import (  # noqa: F401
     polymul_fourstep_mxu_fn,

@@ -33,7 +33,8 @@ from ..ops.ntt import _subtables
 from ..ops.tables import get_tables
 
 __all__ = ["polymul_dp_fn", "polymul_fixed_dp_fn",
-           "polymul_fourstep_sharded_fn", "ntt_fourstep_sharded_fn"]
+           "polymul_fourstep_sharded_fn", "ntt_fourstep_sharded_fn",
+           "intt_fourstep_sharded_fn"]
 
 
 def polymul_dp_fn(name: str, mesh: Mesh, algo: str = "merged"):
@@ -126,8 +127,16 @@ def ntt_fourstep_sharded_fn(name: str, mesh: Mesh, n1: int | None = None,
                             with_weighting: bool = True):
     """Jitted forward sharded negacyclic-weighted NTT (mainly for tests);
     returns spectral layout (B, n1, n2) with k1 sharded."""
-    fwd, _, _ = _build(name, mesh, n1, with_weighting)
+    fwd, _, _, _ = _build(name, mesh, n1, with_weighting)
     return fwd
+
+
+def intt_fourstep_sharded_fn(name: str, mesh: Mesh, n1: int | None = None,
+                             with_weighting: bool = True):
+    """Jitted inverse of ntt_fourstep_sharded_fn: spectral (B, n1, n2)
+    k1-sharded -> coefficient (B, n) batch-sharded."""
+    _, inv, _, _ = _build(name, mesh, n1, with_weighting)
+    return inv
 
 
 def _build(name: str, mesh: Mesh, n1: int | None, with_weighting: bool = True):
@@ -201,9 +210,12 @@ def _build(name: str, mesh: Mesh, n1: int | None, with_weighting: bool = True):
     fwd_jit = jax.jit(
         lambda x: fwd_shmap(x.reshape(x.shape[0], n1, n2)),
         in_shardings=in_sh)
+    inv_jit = jax.jit(
+        lambda Z: inv_shmap(Z).reshape(Z.shape[0], n),
+        out_shardings=in_sh)
     polymul_jit = jax.jit(polymul, in_shardings=(in_sh, in_sh),
                           out_shardings=in_sh)
-    return fwd_jit, polymul_jit, (n1, n2)
+    return fwd_jit, inv_jit, polymul_jit, (n1, n2)
 
 
 def polymul_fourstep_sharded_fn(name: str, mesh: Mesh,
@@ -242,5 +254,5 @@ def polymul_fourstep_sharded_fn(name: str, mesh: Mesh,
     if local == "mxu":
         from .sharded_mxu import polymul_fourstep_mxu_fn
         return polymul_fourstep_mxu_fn(name, mesh, n1)
-    _, polymul_jit, _ = _build(name, mesh, n1)
+    _, _, polymul_jit, _ = _build(name, mesh, n1)
     return polymul_jit

@@ -14,7 +14,6 @@ Usage: python scripts/probe_mxu.py [--batch 16384] [--tile 256] [--which all]
 """
 
 import argparse
-import functools
 import sys
 
 import numpy as np

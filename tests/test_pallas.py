@@ -56,7 +56,6 @@ def test_fused_via_models_api(rng):
     """algo='fused' reachable through the public polymul API."""
     ps = get_params("smallprime")
     x = rng.integers(0, ps.q, (4, ps.n), dtype=np.uint32)
-    from qtesla_tpu.models import polymul_fn
     # note: on CPU test runs this compiles the Mosaic kernel for CPU via
     # interpret=False only on TPU; use the interpret variant here
     z = np.asarray(polymul_fused_fn("smallprime", interpret=True)(x, x))

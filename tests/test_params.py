@@ -111,3 +111,25 @@ def test_register_param_set_end_to_end(rng):
     import pytest
     with pytest.raises(ValueError):
         register_param_set("toy-7681", 128, 7681)
+
+
+def test_runtime_registered_set_mxu_and_nussbaumer(rng):
+    """Extends test_register_param_set_end_to_end: the MXU digit-matmul
+    kernel (interpret) and the exact mod-q Nussbaumer also work on a
+    RUNTIME-registered set, with adversarial all-(q-1) operands."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+    from qtesla_tpu.ops.ntt_mxu import polymul_mxu_fn
+    from qtesla_tpu.params import register_param_set
+
+    ps = register_param_set("toy-7681", 64, 7681)   # idempotent re-register
+    x = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    x[0, :] = ps.q - 1
+    y[0, :] = ps.q - 1
+    want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                     for b in range(3)]).astype(np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="nussbaumer"))
+    np.testing.assert_array_equal(z.astype(np.uint32), want)
+    z = np.asarray(polymul_mxu_fn("toy-7681", interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)

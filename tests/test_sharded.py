@@ -168,3 +168,16 @@ def test_fourstep_mxu_other_sets(rng):
         z = np.asarray(polymul_fourstep_mxu_fn(name, mesh,
                                                interpret=True)(x, y))
         np.testing.assert_array_equal(z, want)
+
+
+@needs8
+def test_fourstep_sharded_roundtrip(data16):
+    """Sharded forward + sharded inverse = identity (the inverse transform
+    API, symmetric to ntt_fourstep_sharded_fn)."""
+    from qtesla_tpu.parallel import intt_fourstep_sharded_fn
+    ps, x, _, _ = data16
+    mesh = make_mesh(data=2, model=4)
+    fwd = ntt_fourstep_sharded_fn(ps.name, mesh)
+    inv = intt_fourstep_sharded_fn(ps.name, mesh)
+    back = np.asarray(inv(fwd(x)))
+    np.testing.assert_array_equal(back, x)
