@@ -133,3 +133,29 @@ def test_runtime_registered_set_mxu_and_nussbaumer(rng):
     np.testing.assert_array_equal(z.astype(np.uint32), want)
     z = np.asarray(polymul_mxu_fn("toy-7681", interpret=True)(x, y))
     np.testing.assert_array_equal(z, want)
+
+
+def test_dilithium_prime_and_n4096_beyond_reference(rng):
+    """Generality beyond the reference's hardcoded N=4..1024 ladder
+    (main.cu:18-65): the Dilithium prime q=8380417=2^23-2^13+1 at n=256,
+    and a 4x-larger-than-reference n=4096 transform on the same prime
+    (8192 | q-1), each bit-exact vs the schoolbook oracle through both the
+    jnp pipeline and the MXU kernel (interpret)."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+    from qtesla_tpu.ops.ntt_mxu import polymul_mxu_fn
+    from qtesla_tpu.params import register_param_set
+
+    for name, n in [("dilithium-256", 256), ("dilithium-4096", 4096)]:
+        ps = register_param_set(name, n=n, q=8380417)
+        B = 2
+        x = rng.integers(0, ps.q, (B, n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (B, n), dtype=np.uint32)
+        x[0, :] = ps.q - 1
+        y[0, :] = ps.q - 1
+        want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                         for b in range(B)]).astype(np.uint32)
+        z = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+        np.testing.assert_array_equal(z, want, err_msg=f"{name} merged")
+        z = np.asarray(polymul_mxu_fn(name, interpret=True)(x, y))
+        np.testing.assert_array_equal(z, want, err_msg=f"{name} mxu")
