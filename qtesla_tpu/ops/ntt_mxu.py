@@ -633,7 +633,7 @@ def _tile_b(mt: MxuTables, requested: int | None) -> int:
     # _make_runner; 20 MB lands on the measured-optimal tiles: 256 for
     # n<=1024, 128 for n=2048).  tile_b=256 measured fastest for n=1024
     # on v5e (sweep 64..512, 2026-08).
-    tables = 2 * mt.nb * mt.D * mt.bw * (mt.D * mt.bw)
+    tables = (mt.Df + mt.Di) * mt.nb * mt.bw * (mt.D * mt.bw)
     cap = (20 * 1024 * 1024 - tables) // (32 * mt.n)
     tb = 8
     while tb * 2 <= min(cap, 256):
