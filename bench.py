@@ -122,6 +122,16 @@ def main() -> int:
             print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:
             print(f"# fixed-operand failed: {e}", file=sys.stderr)
+        # generality beyond the reference's N=4..1024 ladder: the Dilithium
+        # prime, registered at runtime, through the same flagship kernel
+        try:
+            from qtesla_tpu.params import register_param_set
+            register_param_set("dilithium-256", n=256, q=8380417)
+            r = benchmark_polymul("dilithium-256", "mxu", batch=BATCHES[0],
+                                  iters=ITERS)
+            print(f"# {r.line()}", file=sys.stderr)
+        except Exception as e:
+            print(f"# dilithium-256 failed: {e}", file=sys.stderr)
     return 0
 
 

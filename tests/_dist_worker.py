@@ -64,4 +64,13 @@ gy2 = global_batch(mesh2, y[rows], P("data", None))
 z2 = polymul_fourstep_sharded_fn(name, mesh2)(gx2, gy2)
 np.testing.assert_array_equal(local_shard(z2), want[rows])
 
+# 3) the MXU-kernel SP path (interpret mode) across the same 2-process
+# mesh: per-device digit tables ride the model axis through
+# jax.distributed exactly as they would on a pod
+from qtesla_tpu.parallel.sharded_mxu import (  # noqa: E402
+    polymul_fourstep_mxu_fn)
+
+z3 = polymul_fourstep_mxu_fn(name, mesh2, interpret=True)(gx2, gy2)
+np.testing.assert_array_equal(local_shard(z3), want[rows])
+
 print(f"DIST OK pid={pid}", flush=True)

@@ -181,3 +181,18 @@ def test_fourstep_sharded_roundtrip(data16):
     inv = intt_fourstep_sharded_fn(ps.name, mesh)
     back = np.asarray(inv(fwd(x)))
     np.testing.assert_array_equal(back, x)
+
+
+@needs8
+def test_fourstep_sharded_explicit_n1(data16):
+    """Non-default split: n1=64 (n2=16) still bit-exact through the jnp
+    and MXU SP paths (the reference hardcodes N1=32, main.cuh:17)."""
+    from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
+    ps, x, y, want = data16
+    mesh = make_mesh(data=2, model=4)
+    z = np.asarray(polymul_fourstep_sharded_fn(
+        ps.name, mesh, n1=64, local="jnp")(x, y))
+    np.testing.assert_array_equal(z, want)
+    z = np.asarray(polymul_fourstep_mxu_fn(
+        ps.name, mesh, n1=64, interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)
