@@ -125,23 +125,49 @@ def _inv_matrix(tbl: NttTables, s_hi: int) -> np.ndarray:
     return M % q
 
 
-def _plan_groups(bounds: list[int]) -> list[tuple[int, int]]:
-    """Greedily pack digit classes j (weight 2^{8j}, worst-case |c_j| <=
-    bounds[j]) into groups whose int32 Horner combination
+def _plan_groups(bounds: list[int], q: int) -> list[tuple[int, int]]:
+    """Pack digit classes j (weight 2^{8j}, worst-case |c_j| <= bounds[j])
+    into consecutive groups whose int32 Horner combination
     g = c_{j0} + 256*c_{j0+1} + ... provably fits in int32.  Returns
-    [(j0, len), ...]; group 0 starting at class 0 needs NO modmul at all,
-    every other group costs one Shoup multiply by 2^{8*j0} mod q."""
-    groups = []
-    j = 0
-    while j < len(bounds):
-        ln, bound = 1, bounds[j]
-        while (j + ln < len(bounds)
-               and bound + (256 ** ln) * bounds[j + ln] < (1 << 31)):
-            bound += (256 ** ln) * bounds[j + ln]
-            ln += 1
-        groups.append((j, ln))
-        j += ln
-    return groups
+    [(j0, len), ...]; group 0 starting at class 0 needs NO modmul, every
+    other group costs one Shoup multiply by 2^{8*j0} mod q.
+
+    All 2^(Dout-1) consecutive compositions are enumerated and costed with
+    the SAME emission model _one_block_matmul uses — including the
+    overflow fallback that fires when the lazy uint32 term sum would
+    exceed 2^32 (packing group 0 too greedily can push the sum over and
+    cost MORE than the Shoup it saved; measured -3.5% on qtesla-p-i
+    before this planner learned about it)."""
+    D = len(bounds)
+
+    def compositions(j):
+        if j == D:
+            yield []
+            return
+        for ln in range(1, D - j + 1):
+            if _group_bound(bounds, j, ln) < (1 << 31):
+                for rest in compositions(j + ln):
+                    yield [(j, ln)] + rest
+
+    def cost(groups):
+        shoups = csubs = 0
+        terms = [q - 1]                      # const row
+        for j0, ln in groups:
+            if j0 == 0:
+                terms.append((1 << 31) + _group_bound(bounds, j0, ln))
+            else:
+                shoups += 1
+                csubs += 1
+                terms.append(2 * q - 1)
+        if sum(terms) >= 1 << 32:            # the fallback reduce pass
+            for bd in terms:
+                if bd >= 2 * q:
+                    shoups += 1
+                    csubs += 1
+                csubs += 1
+        return (shoups, csubs, len(groups))
+
+    return min(compositions(0), key=cost)
 
 
 def _group_bound(bounds, j0, ln) -> int:
@@ -168,14 +194,29 @@ def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
     return Wblk, K.sum(axis=0)
 
 
-def _digit_bounds_groups(mw: np.ndarray, bw: int):
-    """Worst-case |c_j| class bounds from the digit maxima + the int32
-    Horner packing plan + the uint32-bias sum the const rows must fold."""
+def _input_digit_maxima(Din: int, off: int, in_bound: int) -> list[int]:
+    """Exact per-plane max |digit_i(v - off)| over v in [0, in_bound).
+
+    Planes 0..Din-2 are balanced bytes (<= 128); the TOP plane is the
+    arithmetic-shift residue of the biased value, bounded by the actual
+    centered range — e.g. only +-32 for a canonical 30-bit q in 4 planes.
+    Using the exact top bound instead of a blanket 128 is what lets the
+    Horner packing fit two classes per int32 group for the p-sets (one
+    recombination Shoup instead of two)."""
+    cmin, cmax = -off, in_bound - 1 - off
+    bias = sum(128 << (8 * i) for i in range(Din - 1))
+    s = 8 * (Din - 1)
+    top = max(abs((cmin + bias) >> s), abs((cmax + bias) >> s))
+    return [128] * (Din - 1) + [int(top)]
+
+
+def _digit_bounds(mw: np.ndarray, bw: int, dmax: list[int]):
+    """Worst-case |c_j| class bounds from the digit maxima (matrix mw and
+    per-plane input maxima dmax)."""
     Din, Dout = mw.shape
-    bounds = [int(sum(bw * 128 * mw[i, j] for i in range(Din)))
+    bounds = [int(sum(bw * dmax[i] * mw[i, j] for i in range(Din)))
               for j in range(Dout)]
-    groups = _plan_groups(bounds)
-    return bounds, groups
+    return bounds
 
 
 def _const_row(colsum, off: int, groups, q: int) -> np.ndarray:
@@ -187,7 +228,7 @@ def _const_row(colsum, off: int, groups, q: int) -> np.ndarray:
 
 
 def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
-                        off: int):
+                        off: int, in_bound: int):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
 
     Din is the number of INPUT digit planes (>= the matrix digit count when
@@ -217,7 +258,8 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
         row[:, b * bw:(b + 1) * bw] = 0
         assert not row.any(), "stage range is not block-local"
         W[b], colsums[b] = _matrix_digit_block(Mb.T, q, Din, Dout, mw)
-    bounds, groups = _digit_bounds_groups(mw, bw)
+    bounds = _digit_bounds(mw, bw, _input_digit_maxima(Din, off, in_bound))
+    groups = _plan_groups(bounds, q)
     const = np.zeros((nb, 1, bw), dtype=np.uint32)
     for b in range(nb):
         const[b, 0, :] = _const_row(colsums[b], off, groups, q)
@@ -282,11 +324,12 @@ class MxuTables:
         self.inv_off = q >> 1
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
-            _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off)
+            _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off,
+            self.fwd_bound)
         (self.wi, self.consti, self.bounds_i,
          self.groups_i) = _block_digit_tables(
             _inv_matrix(tbl, L - self.Lr), q, bw, self.Di, self.D,
-            self.inv_off)
+            self.inv_off, q)
 
 
 @functools.lru_cache(maxsize=None)

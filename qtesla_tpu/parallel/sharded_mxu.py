@@ -47,8 +47,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import ntt as N
 from ..ops.modmul import fast_reduce_2q, mulmod_barrett
 from ..ops.ntt import _subtables
-from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds_groups,
-                           _digit_planes, _matrix_digit_block, _ndigits,
+from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds,
+                           _digit_planes, _input_digit_maxima,
+                           _matrix_digit_block, _ndigits, _plan_groups,
                            _recombine_classes)
 from ..ops.tables import get_tables
 
@@ -91,7 +92,8 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int):
     indices = list(np.ndindex(*lead)) if lead else [()]
     for idx in indices:
         W[idx], colsums[idx] = _matrix_digit_block(Ms[idx], q, D, D, mw)
-    bounds, groups = _digit_bounds_groups(mw, bw)
+    bounds = _digit_bounds(mw, bw, _input_digit_maxima(D, off, q))
+    groups = _plan_groups(bounds, q)
     for idx in indices:
         const[idx + (0,)] = _const_row(colsums[idx], off, groups, q)
     return types.SimpleNamespace(W=W, const=const, groups=groups,
