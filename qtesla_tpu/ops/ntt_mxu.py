@@ -125,7 +125,8 @@ def _inv_matrix(tbl: NttTables, s_hi: int) -> np.ndarray:
     return M % q
 
 
-def _plan_groups(bounds: list[int], q: int) -> list[tuple[int, int]]:
+def _plan_groups(bounds: list[int], q: int,
+                 downstream: str = "any") -> list[tuple[int, int]]:
     """Pack digit classes j (weight 2^{8j}, worst-case |c_j| <= bounds[j])
     into consecutive groups whose int32 Horner combination
     g = c_{j0} + 256*c_{j0+1} + ... provably fits in int32.  Returns
@@ -137,7 +138,14 @@ def _plan_groups(bounds: list[int], q: int) -> list[tuple[int, int]]:
     overflow fallback that fires when the lazy uint32 term sum would
     exceed 2^32 (packing group 0 too greedily can push the sum over and
     cost MORE than the Shoup it saved; measured -3.5% on qtesla-p-i
-    before this planner learned about it)."""
+    before this planner learned about it).
+
+    `downstream` names what consumes the lazy output (the forward feeds
+    the Barrett pointwise, which accepts any uint32: 'any'; the inverse
+    must reduce to [0, 2q): 'reduce_sparse' when q has a shift-add plan,
+    'reduce_shoup' otherwise) — a plan whose fallback already compressed
+    every term makes that reduction a couple of csubs instead of a Shoup,
+    so the optimum depends on the consumer."""
     D = len(bounds)
 
     def compositions(j):
@@ -165,6 +173,19 @@ def _plan_groups(bounds: list[int], q: int) -> list[tuple[int, int]]:
                     shoups += 1
                     csubs += 1
                 csubs += 1
+            terms = [q - 1] * len(terms)
+        bound = sum(terms)                   # == _recombine_bound
+        if downstream != "any" and bound > 2 * q:
+            if bound <= 16 * q:              # reduce_bounded_2q csub chain
+                b = bound
+                while b > 2 * q:
+                    csubs += 1
+                    b = max(2 * q, (b + 1) // 2)
+            elif downstream == "reduce_shoup":
+                shoups += 1
+                csubs += 1
+            else:                            # sparse shift-add, no multiply
+                csubs += 3
         return (shoups, csubs, len(groups))
 
     return min(compositions(0), key=cost)
@@ -172,6 +193,22 @@ def _plan_groups(bounds: list[int], q: int) -> list[tuple[int, int]]:
 
 def _group_bound(bounds, j0, ln) -> int:
     return sum((256 ** m) * bounds[j0 + m] for m in range(ln))
+
+
+def _recombine_bound(groups, bounds, q: int) -> int:
+    """Exact worst-case bound of _recombine_classes' lazy output, tracking
+    the same term/fallback logic it emits.  Lets consumers canonicalize
+    with a couple of conditional subtracts instead of a generic reduction
+    when the plan's fallback already compressed every term (the p-sets)."""
+    terms = [q - 1]
+    for j0, ln in groups:
+        if j0 == 0:
+            terms.append((1 << 31) + _group_bound(bounds, j0, ln))
+        else:
+            terms.append(2 * q - 1)
+    if sum(terms) >= 1 << 32:       # fallback reduces every term to < q
+        terms = [q - 1] * len(terms)
+    return sum(terms)
 
 
 def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
@@ -228,7 +265,7 @@ def _const_row(colsum, off: int, groups, q: int) -> np.ndarray:
 
 
 def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
-                        off: int, in_bound: int):
+                        off: int, in_bound: int, downstream: str = "any"):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
 
     Din is the number of INPUT digit planes (>= the matrix digit count when
@@ -259,7 +296,7 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
         assert not row.any(), "stage range is not block-local"
         W[b], colsums[b] = _matrix_digit_block(Mb.T, q, Din, Dout, mw)
     bounds = _digit_bounds(mw, bw, _input_digit_maxima(Din, off, in_bound))
-    groups = _plan_groups(bounds, q)
+    groups = _plan_groups(bounds, q, downstream)
     const = np.zeros((nb, 1, bw), dtype=np.uint32)
     for b in range(nb):
         const[b, 0, :] = _const_row(colsums[b], off, groups, q)
@@ -322,14 +359,17 @@ class MxuTables:
         self.fwd_bound = bnd if self.fwd_lazy else q
         self.fwd_off = self.fwd_bound >> 1
         self.inv_off = q >> 1
+        from .modmul import sparse_reduce_plan
+        dw_inv = ("reduce_sparse" if sparse_reduce_plan(q)
+                  else "reduce_shoup")
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
             _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off,
-            self.fwd_bound)
+            self.fwd_bound, "any")           # forward feeds the pointwise
         (self.wi, self.consti, self.bounds_i,
          self.groups_i) = _block_digit_tables(
             _inv_matrix(tbl, L - self.Lr), q, bw, self.Di, self.D,
-            self.inv_off, q)
+            self.inv_off, q, dw_inv)
 
 
 @functools.lru_cache(maxsize=None)
@@ -560,6 +600,18 @@ def _reduce_2q(v, mt: MxuTables):
     return fast_reduce_2q(v, mt.q, mt.tbl.ps.one_shoup)
 
 
+def reduce_bounded_2q(v, bound: int, q: int, one_shoup: int):
+    """Value v < bound -> [0, 2q), choosing the cheapest exact route: a
+    no-op when already there, a short csub chain when the bound is a small
+    multiple of q (the recombination-fallback case), else the generic
+    fast_reduce_2q."""
+    if bound <= 2 * q:
+        return v
+    if bound <= 16 * q:
+        return _csub_to(v, bound, 2 * q, q)[0]
+    return fast_reduce_2q(v, q, one_shoup)
+
+
 def _pointwise(xb, yb, mt: MxuTables):
     """Hadamard mulmod for one block pair (any uint32 inputs, canonical
     output) — the reference pointwise_mult (NTT.cu:1155-1160) with lazy
@@ -578,8 +630,11 @@ def _inv_mxu(blocks_canon, refs, mt: MxuTables):
     """Full inverse NTT from canonical blocks; canonical blocks out."""
     blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
                            mt.groups_i, mt.bounds_i, mt.inv_off, mt.Di)
-    # reduce lazy recombination sums into [0, 2q)
-    blocks = [_reduce_2q(v, mt) for v in blocks]
+    # reduce lazy recombination sums into [0, 2q) — by the cheapest route
+    # the plan's exact output bound allows
+    rb = _recombine_bound(mt.groups_i, mt.bounds_i, mt.q)
+    blocks = [reduce_bounded_2q(v, rb, mt.q, mt.tbl.ps.one_shoup)
+              for v in blocks]
     if mt.Lr:
         return _inv_rolls(blocks, mt)
     return [_csub(v, mt.q) for v in blocks]
