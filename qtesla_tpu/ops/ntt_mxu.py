@@ -47,14 +47,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmul import fast_reduce_2q, shoup_mulmod_sloppy, widemul32
+from .modmul import (fast_reduce_2q, shoup_mulmod_sloppy,
+                     sparse_reduce_plan, widemul32)
 from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
 __all__ = ["polymul_mxu_fn", "polymul_fixed_mxu_fn", "ntt_mxu_fn",
            "intt_mxu_fn", "get_mxu_tables"]
 
-_BIAS = 1 << 24          # additive bias making int32 partial sums positive
 _BW_MAX = 128            # block width = one vreg of lanes
 
 
@@ -174,7 +174,7 @@ def _plan_groups(bounds: list[int], q: int,
                     csubs += 1
                 csubs += 1
             terms = [q - 1] * len(terms)
-        bound = sum(terms)                   # == _recombine_bound
+        bound = sum(terms)   # matches _recombine_classes' bound
         if downstream != "any" and bound > 2 * q:
             if bound <= 16 * q:              # reduce_bounded_2q csub chain
                 b = bound
@@ -195,20 +195,10 @@ def _group_bound(bounds, j0, ln) -> int:
     return sum((256 ** m) * bounds[j0 + m] for m in range(ln))
 
 
-def _recombine_bound(groups, bounds, q: int) -> int:
-    """Exact worst-case bound of _recombine_classes' lazy output, tracking
-    the same term/fallback logic it emits.  Lets consumers canonicalize
-    with a couple of conditional subtracts instead of a generic reduction
-    when the plan's fallback already compressed every term (the p-sets)."""
-    terms = [q - 1]
-    for j0, ln in groups:
-        if j0 == 0:
-            terms.append((1 << 31) + _group_bound(bounds, j0, ln))
-        else:
-            terms.append(2 * q - 1)
-    if sum(terms) >= 1 << 32:       # fallback reduces every term to < q
-        terms = [q - 1] * len(terms)
-    return sum(terms)
+def _reduce_kind(q: int) -> str:
+    """The downstream tag _plan_groups costs for post-recombination
+    canonicalization: shift-add when q is sparse, Shoup otherwise."""
+    return "reduce_sparse" if sparse_reduce_plan(q) else "reduce_shoup"
 
 
 def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
@@ -359,9 +349,7 @@ class MxuTables:
         self.fwd_bound = bnd if self.fwd_lazy else q
         self.fwd_off = self.fwd_bound >> 1
         self.inv_off = q >> 1
-        from .modmul import sparse_reduce_plan
-        dw_inv = ("reduce_sparse" if sparse_reduce_plan(q)
-                  else "reduce_shoup")
+        dw_inv = _reduce_kind(q)
         (self.wf, self.constf, self.bounds_f,
          self.groups_f) = _block_digit_tables(
             _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off,
@@ -420,11 +408,26 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
                               mt.tbl.ps.one_shoup, groups, bounds)
 
 
+def _block_matmul(blocks, w_ref, const_ref, mt, groups, bounds,
+                  off: int, din: int):
+    """Stage matrix over the block-list representation: per 128-lane block,
+    digit split (centered at `off`, `din` planes) -> int8 dot -> packed
+    recombination.  No concatenation — data stays as nb separate (TB, bw)
+    tiles.  Returns (blocks, shared lazy output bound)."""
+    outs = [_one_block_matmul(_digit_planes(blk, off, din), b,
+                              w_ref, const_ref, mt, groups, bounds, din)
+            for b, blk in enumerate(blocks)]
+    return [v for v, _ in outs], outs[0][1]
+
+
 def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
                        one_shoup: int, groups, bounds):
     """int8 digit planes (TB, bw) -> int8 dots against the matching
     (bw, Dout*bw) table slices -> Horner-packed class recombination (see
-    _one_block_matmul docstring).  Returns lazy uint32 (TB, bw)."""
+    _one_block_matmul docstring).  Returns (lazy uint32 (TB, bw),
+    exact worst-case bound) — the bound comes from the SAME term tracking
+    that drives the emitted ops, so consumers (reduce_bounded_2q) can
+    never disagree with what was generated."""
     acc = None
     for p_i, w_i in zip(planes, w_slices):
         p = lax.dot_general(p_i, w_i, (((1,), (0,)), ((), ())),
@@ -457,18 +460,8 @@ def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
             red.append((_csub(v, q), q - 1))
         terms = red
         assert sum(bd for _, bd in terms) < 1 << 32, "recombine overflow"
-    return functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
-
-
-def _block_matmul(blocks, w_ref, const_ref, mt: MxuTables, groups, bounds,
-                  off: int, din: int):
-    """Stage matrix over the block-list representation: per 128-lane block,
-    digit split (centered at `off`, `din` planes) -> int8 dot -> packed
-    recombination.  No concatenation — data stays as nb separate (TB, bw)
-    tiles."""
-    return [_one_block_matmul(_digit_planes(blk, off, din), b,
-                              w_ref, const_ref, mt, groups, bounds, din)
-            for b, blk in enumerate(blocks)]
+    value = functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
+    return value, sum(bd for _, bd in terms)
 
 
 def _split_blocks(ref, mt: MxuTables):
@@ -590,8 +583,9 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
     packing plan); concatenated order identical to ntt_fwd_merged."""
     if mt.Lr:
         blocks = _fwd_rolls(blocks, mt)
-    return _block_matmul(blocks, refs["wf"], refs["constf"], mt,
-                         mt.groups_f, mt.bounds_f, mt.fwd_off, mt.Df)
+    blocks, _ = _block_matmul(blocks, refs["wf"], refs["constf"], mt,
+                              mt.groups_f, mt.bounds_f, mt.fwd_off, mt.Df)
+    return blocks
 
 
 def _reduce_2q(v, mt: MxuTables):
@@ -628,11 +622,11 @@ def _pointwise(xb, yb, mt: MxuTables):
 
 def _inv_mxu(blocks_canon, refs, mt: MxuTables):
     """Full inverse NTT from canonical blocks; canonical blocks out."""
-    blocks = _block_matmul(blocks_canon, refs["wi"], refs["consti"], mt,
-                           mt.groups_i, mt.bounds_i, mt.inv_off, mt.Di)
+    blocks, rb = _block_matmul(blocks_canon, refs["wi"], refs["consti"],
+                               mt, mt.groups_i, mt.bounds_i, mt.inv_off,
+                               mt.Di)
     # reduce lazy recombination sums into [0, 2q) — by the cheapest route
-    # the plan's exact output bound allows
-    rb = _recombine_bound(mt.groups_i, mt.bounds_i, mt.q)
+    # the emission's own output bound allows
     blocks = [reduce_bounded_2q(v, rb, mt.q, mt.tbl.ps.one_shoup)
               for v in blocks]
     if mt.Lr:
@@ -722,7 +716,8 @@ def _flatten_batch(run, n: int):
     return fn
 
 
-def _tile_b(mt: MxuTables, requested: int | None) -> int:
+def _tile_b(mt: MxuTables, requested: int | None,
+            planes: int | None = None) -> int:
     if requested:
         return requested
     # Fit tile-dependent buffers (x/y/z + lazy temps + digit planes,
@@ -731,7 +726,9 @@ def _tile_b(mt: MxuTables, requested: int | None) -> int:
     # _make_runner; 20 MB lands on the measured-optimal tiles: 256 for
     # n<=1024, 128 for n=2048).  tile_b=256 measured fastest for n=1024
     # on v5e (sweep 64..512, 2026-08).
-    tables = (mt.Df + mt.Di) * mt.nb * mt.bw * (mt.D * mt.bw)
+    # `planes` = resident table plane count: Df+Di for the full polymul
+    # kernels, Df or Di alone for the one-direction transforms
+    tables = (planes or mt.Df + mt.Di) * mt.nb * mt.bw * (mt.D * mt.bw)
     cap = (20 * 1024 * 1024 - tables) // (32 * mt.n)
     tb = 8
     while tb * 2 <= min(cap, 256):
@@ -815,7 +812,8 @@ def ntt_mxu_fn(name: str, tile_b: int | None = None,
         _store_blocks(out_ref, X, mt)
 
     run = _flatten_batch(_make_runner(kernel, mt, 1, names, arrs, specs,
-                                      _tile_b(mt, tile_b), interpret), mt.n)
+                                      _tile_b(mt, tile_b, mt.Df),
+                                      interpret), mt.n)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))
 
 
@@ -833,5 +831,6 @@ def intt_mxu_fn(name: str, tile_b: int | None = None,
                       mt)
 
     run = _flatten_batch(_make_runner(kernel, mt, 1, names, arrs, specs,
-                                      _tile_b(mt, tile_b), interpret), mt.n)
+                                      _tile_b(mt, tile_b, mt.Di),
+                                      interpret), mt.n)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))

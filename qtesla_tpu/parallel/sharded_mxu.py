@@ -45,12 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as N
-from ..ops.modmul import fast_reduce_2q, mulmod_barrett
 from ..ops.ntt import _subtables
+from ..ops.modmul import mulmod_barrett
 from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds,
                            _digit_planes, _input_digit_maxima,
                            _matrix_digit_block, _ndigits, _plan_groups,
-                           _recombine_bound, _recombine_classes,
+                           _recombine_classes, _reduce_kind,
                            reduce_bounded_2q)
 from ..ops.tables import get_tables
 
@@ -93,10 +93,8 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int):
     indices = list(np.ndindex(*lead)) if lead else [()]
     for idx in indices:
         W[idx], colsums[idx] = _matrix_digit_block(Ms[idx], q, D, D, mw)
-    from ..ops.modmul import sparse_reduce_plan
     bounds = _digit_bounds(mw, bw, _input_digit_maxima(D, off, q))
-    groups = _plan_groups(bounds, q, "reduce_sparse"
-                          if sparse_reduce_plan(q) else "reduce_shoup")
+    groups = _plan_groups(bounds, q, _reduce_kind(q))
     for idx in indices:
         const[idx + (0,)] = _const_row(colsums[idx], off, groups, q)
     return types.SimpleNamespace(W=W, const=const, groups=groups,
@@ -107,9 +105,9 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int):
 def _apply_plan(x_block, w_slices, const_row, plan):
     """(TB, bw) canonical -> (TB, bw) canonical through one plan matrix."""
     planes = _digit_planes(x_block, plan.off, plan.din)
-    lazy = _recombine_classes(planes, w_slices, const_row, plan.bw, plan.q,
-                              plan.one_shoup, plan.groups, plan.bounds)
-    rb = _recombine_bound(plan.groups, plan.bounds, plan.q)
+    lazy, rb = _recombine_classes(planes, w_slices, const_row, plan.bw,
+                                  plan.q, plan.one_shoup, plan.groups,
+                                  plan.bounds)
     return _csub(reduce_bounded_2q(lazy, rb, plan.q, plan.one_shoup),
                  plan.q)
 
