@@ -74,12 +74,20 @@ def main() -> int:
     value = r.throughput_best          # min-time based; see timing.py
     # the driver's contract (ONE JSON line) is satisfied before any
     # optional diagnostics run
+    # honest denominators next to the estimated one: the kernel's own
+    # measured in-Pallas DMA floor and estimated VPU op-count floor at this
+    # shape (docs/PERF_NOTES.md round-2 correction) — vs_baseline divides by
+    # an ESTIMATE (the reference publishes no numbers), these divide by
+    # measured properties of this chip
     print(json.dumps({
         "metric": f"negacyclic polymuls/s/chip (n=1024, q=8404993, "
                   f"batch={batch}, algo={best_algo})",
         "value": round(value, 1),
         "unit": "polymuls/s/chip",
         "vs_baseline": round(value / REFERENCE_ESTIMATE, 3),
+        "baseline_is_estimate": True,
+        "vs_dma_floor_45M": round(value / 45.0e6, 3),
+        "vs_op_floor_20M": round(value / 20.0e6, 3),
     }), flush=True)
     # stderr diagnostics: algorithm comparison points + the other qTESLA
     # sets (n = 512 / 1024 / 2048)
@@ -88,14 +96,17 @@ def main() -> int:
     # retry it on three more parameter sets
     extras = []
     if best_algo == "mxu":
-        extras.append((PARAM_SET, "fused"))
+        extras.append((PARAM_SET, "fused", BATCHES[0]))
     if best_algo != "merged":
-        extras.append((PARAM_SET, "merged"))
-    extras += [(s, best_algo) for s in ("qtesla-i", "qtesla-p-i",
-                                        "qtesla-p-iii")]
-    for pset, candidate in extras:
+        extras.append((PARAM_SET, "merged", BATCHES[0]))
+    extras += [(s, best_algo, BATCHES[0]) for s in ("qtesla-i", "qtesla-p-i",
+                                                    "qtesla-p-iii")]
+    # the paper's title algorithm (reference NTT.cu:147-277) — recorded so
+    # the Nussbaumer path has a committed TPU number, not just correctness
+    extras.append((PARAM_SET, "nussbaumer", 4096))
+    for pset, candidate, batch_d in extras:
         try:
-            r = benchmark_polymul(pset, candidate, batch=BATCHES[0],
+            r = benchmark_polymul(pset, candidate, batch=batch_d,
                                   iters=ITERS)
             print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:

@@ -147,19 +147,35 @@ def cmd_speed(args) -> int:
                         name=f"polymul_fixed[{ps.name},{algo},"
                              f"B={args.batch}]")
             out.append({"algo": f"fixed/{algo}", "batch": args.batch,
-                        "ms_per_iter": r.min_s * 1e3,
+                        "min_ms_per_iter": r.min_s * 1e3,
+                        "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
                         "polymuls_per_s": r.throughput_best})
             print("  " + r.line())
         if args.json:
             print(json.dumps(out))
         return 0
     out = []
+    if getattr(args, "streamed", False):
+        from .utils.timing import benchmark_polymul_streamed
+        for algo in _algos(args.algo):
+            r = benchmark_polymul_streamed(args.param_set, algo,
+                                           batch=args.batch,
+                                           iters=args.iters, seed=args.seed)
+            out.append({"algo": f"streamed/{algo}", "batch": args.batch,
+                        "min_ms_per_iter": r.min_s * 1e3,
+                        "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
+                        "polymuls_per_s": r.throughput_best})
+            print("  " + r.line())
+        if args.json:
+            print(json.dumps(out))
+        return 0
     for algo in _algos(args.algo):
         r = benchmark_polymul(args.param_set, algo, batch=args.batch,
                               iters=args.iters, seed=args.seed,
                               trace_dir=args.trace_dir)
         out.append({"algo": algo, "batch": args.batch,
-                    "ms_per_iter": r.min_s * 1e3,
+                    "min_ms_per_iter": r.min_s * 1e3,
+                    "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
                     "polymuls_per_s": r.throughput_best})
         print("  " + r.line())
     if args.json:
@@ -198,6 +214,7 @@ def cmd_scaling(args) -> int:
     ndev = len(jax.devices())
     print(f"backend: {jax.default_backend()}  devices: {ndev}")
     rng = np.random.default_rng(args.seed)
+    out = []
     base = None
     d = 1
     while d <= ndev:
@@ -211,23 +228,34 @@ def cmd_scaling(args) -> int:
         if base is None:
             base = r.throughput_best
         eff = r.throughput_best / (base * d)
+        out.append({"mode": "dp", "devices": d, "batch": B,
+                    "polymuls_per_s": r.throughput_best,
+                    "scaling_eff": eff})
         print(f"  {r.line()}  scaling-eff {eff:5.1%}")
         d *= 2
     if args.model > 1:
         if ndev < args.model or ndev % args.model:
             print(f"  fourstep SP skipped: model={args.model} needs a "
                   f"divisible device count, have {ndev}")
-            return 0
-        mesh = make_mesh(data=ndev // args.model, model=args.model)
-        B = args.batch_per_device * mesh.shape["data"]
-        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
-        y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
-        fn = polymul_fourstep_sharded_fn(ps.name, mesh)
-        r = measure(fn, x, y, warmup=2, iters=args.iters, items_per_iter=B,
-                    chain=True,
-                    name=f"fourstep[data={mesh.shape['data']},"
-                         f"model={args.model},B={B}]")
-        print(f"  {r.line()}")
+        else:
+            mesh = make_mesh(data=ndev // args.model, model=args.model)
+            B = args.batch_per_device * mesh.shape["data"]
+            x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+            y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+            fn = polymul_fourstep_sharded_fn(ps.name, mesh)
+            r = measure(fn, x, y, warmup=2, iters=args.iters,
+                        items_per_iter=B, chain=True,
+                        name=f"fourstep[data={mesh.shape['data']},"
+                             f"model={args.model},B={B}]")
+            # vs the DP row at the same device count: SP relative efficiency
+            rel = r.throughput_best / (base * ndev) if base else 0.0
+            out.append({"mode": "fourstep_sp",
+                        "devices": ndev, "model": args.model, "batch": B,
+                        "polymuls_per_s": r.throughput_best,
+                        "vs_dp_eff": rel})
+            print(f"  {r.line()}  vs-1dev-x-N {rel:5.1%}")
+    if args.json:
+        print(json.dumps(out))
     return 0
 
 
@@ -285,6 +313,11 @@ def main(argv=None) -> int:
     s.add_argument("--fixed", action="store_true",
                    help="fixed-operand workload (constant polynomial, "
                         "precomputed spectrum)")
+    s.add_argument("--streamed", action="store_true",
+                   help="transfer-inclusive bracket: operands staged from "
+                        "host RAM and result fetched back every iteration "
+                        "(the reference's PCIe-inclusive timing, "
+                        "NTT.cu:2036-2079)")
     s.add_argument("--json", action="store_true")
     s.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
@@ -303,6 +336,7 @@ def main(argv=None) -> int:
     g.add_argument("--model", type=int, default=1,
                    help="also run the four-step SP pipeline at this "
                         "model-axis size")
+    g.add_argument("--json", action="store_true")
     g.add_argument("-r", "--seed", type=int, default=0)
 
     m = sub.add_parser("microbench",

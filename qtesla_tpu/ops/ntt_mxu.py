@@ -299,9 +299,10 @@ class MxuTables:
     `bw` is the matmul block width: stages with pair distance < bw are
     folded into the per-block matrices (MXU), the log2(n/bw) wider stages
     stay as tile-regrouping VPU butterflies.  Wider blocks trade MXU MACs
-    (per-coeff cost ∝ bw·D²) for fewer VPU wide stages — measured win on
-    v5e up to bw=512 at n=1024 because the dots hide behind the VPU work
-    (scripts/probe_mxu.py, 2026-08)."""
+    (per-coeff cost ∝ bw·D²) for fewer VPU wide stages — bw=128 is the
+    measured optimum on v5e at n=1024: bw=256/512 ran 1.32/1.87 ms vs
+    1.04 ms because the doubled MACs stop hiding behind the VPU work
+    (scripts/probe_mxu.py + docs/PERF_NOTES.md rejected-ideas, 2026-08)."""
 
     def __init__(self, tbl: NttTables, bw: int | None = None):
         self.tbl = tbl

@@ -226,31 +226,35 @@ def polymul_fourstep_sharded_fn(name: str, mesh: Mesh,
 
     `local` selects the LOCAL column/row transform implementation:
     'mxu' = the fused Pallas digit-matmul kernels (sharded_mxu.py, the
-    perf path), 'jnp' = the Stockham jnp pipeline (runs anywhere,
-    including interpret-free CPU), 'auto' = mxu on a TPU backend when the
-    config supports it, else jnp.  Both are bit-exact."""
-    if mesh.shape["model"] == 1 and local in ("auto", "mxu"):
-        try:
-            import jax as _jax
-            if _jax.default_backend() == "tpu":
-                # a four-step with one shard has no collectives and equals
-                # the single-chip pipeline — route straight to the
-                # flagship MXU kernel under batch DP
-                return polymul_dp_fn(name, mesh, algo="mxu")
-        except Exception:
-            pass
+    perf path; raises if the config is unsupported), 'jnp' = the Stockham
+    jnp pipeline (runs anywhere, including interpret-free CPU), 'auto' =
+    mxu on a TPU backend when the config supports it, else jnp — with a
+    loud warning naming the reason whenever auto downgrades a TPU run to
+    the ~8x slower jnp locals.  Both are bit-exact."""
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    if mesh.shape["model"] == 1 and local in ("auto", "mxu") and on_tpu:
+        # a four-step with one shard has no collectives and equals the
+        # single-chip pipeline — route straight to the flagship MXU
+        # kernel under batch DP
+        return polymul_dp_fn(name, mesh, algo="mxu")
     if local == "auto":
         local = "jnp"
-        try:
-            import jax as _jax
-            if _jax.default_backend() == "tpu":
-                from .sharded_mxu import fourstep_mxu_plans
-                tbl = get_tables(name)
+        if on_tpu:
+            from .sharded_mxu import fourstep_mxu_plans
+            tbl = get_tables(name)
+            try:
                 fourstep_mxu_plans(name, n1 or 1 << (tbl.logn // 2),
                                    mesh.shape["model"])
                 local = "mxu"
-        except Exception:
-            pass
+            except ValueError as e:
+                # expected config rejections (size/divisibility) only; a
+                # genuine plan-construction bug must surface, not downgrade
+                import warnings
+                warnings.warn(
+                    f"sharded polymul for {name!r} falling back to the "
+                    f"~8x slower jnp local transforms: {e}",
+                    RuntimeWarning, stacklevel=2)
     if local == "mxu":
         from .sharded_mxu import polymul_fourstep_mxu_fn
         return polymul_fourstep_mxu_fn(name, mesh, n1)

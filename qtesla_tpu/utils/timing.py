@@ -16,7 +16,8 @@ from typing import Callable
 
 import jax
 
-__all__ = ["BenchResult", "measure", "benchmark_polymul",
+__all__ = ["BenchResult", "measure", "measure_streamed",
+           "benchmark_polymul", "benchmark_polymul_streamed",
            "benchmark_reduction"]
 
 
@@ -146,6 +147,57 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
             ctx.__exit__(None, None, None)
     return BenchResult.from_times(times, name=name, iters=iters,
                                   items_per_iter=items_per_iter)
+
+
+def measure_streamed(fn: Callable, *host_args, warmup: int = 2,
+                     iters: int = 10, items_per_iter: int = 1,
+                     name: str = "bench") -> BenchResult:
+    """Transfer-INCLUSIVE timing: each iteration stages the numpy operands
+    host->device, runs fn, and fetches the full result back to numpy.
+
+    This is the reference's headline bracket (NTT.cu:2036-2079: cudaMemcpy
+    H2D + kernels + D2H inside the timed loop) translated to the TPU: it
+    answers "what if operands arrive from host RAM each call" — the serving
+    case `measure(chain=True)` deliberately excludes.  On a tunneled
+    device the flat ~25-30 ms readback dominates; the number is honest for
+    THIS host-device link, not a property of the chip (docs/PERF_NOTES.md
+    device table)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    def one():
+        dev = tuple(jnp.asarray(a) for a in host_args)
+        return np.asarray(fn(*dev))
+
+    for _ in range(warmup):
+        one()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        one()
+        times.append(time.perf_counter() - t0)
+    return BenchResult.from_times(times, name=name, iters=iters,
+                                  items_per_iter=items_per_iter)
+
+
+def benchmark_polymul_streamed(param_set: str, algo: str = "merged",
+                               batch: int = 4096, iters: int = 10,
+                               warmup: int = 2, seed: int = 0) -> BenchResult:
+    """Streamed (transfer-inclusive) negacyclic polymul throughput: operands
+    start in host RAM every iteration and the product is fetched back — the
+    reference's PCIe-inclusive measurement capability (NTT.cu:2036-2079)."""
+    import numpy as np
+    from ..models import polymul_fn
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32)
+    fn = polymul_fn(param_set, algo)
+    return measure_streamed(
+        fn, x, y, warmup=warmup, iters=iters, items_per_iter=batch,
+        name=f"polymul_streamed[{param_set},{algo},B={batch}]")
 
 
 def benchmark_polymul(param_set: str, algo: str = "merged",

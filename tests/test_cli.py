@@ -50,11 +50,28 @@ def test_speed_fixed(capsys):
     assert "polymul_fixed" in capsys.readouterr().out
 
 
+def test_speed_streamed_json(capsys):
+    """Transfer-inclusive bracket (reference NTT.cu:2036-2079 capability)."""
+    import json
+    assert cli.main(["speed", "--param-set", "smallprime", "--algo",
+                     "merged", "--batch", "64", "--iters", "2",
+                     "--streamed", "--json"]) == 0
+    out = capsys.readouterr().out
+    assert "polymul_streamed" in out
+    row = json.loads(out.strip().splitlines()[-1])[0]
+    assert row["algo"] == "streamed/merged"
+    assert row["min_ms_per_iter"] > 0
+
+
 def test_scaling_dp(capsys):
+    import json
     assert cli.main(["scaling", "--param-set", "smallprime",
-                     "--batch-per-device", "32", "--iters", "2"]) == 0
+                     "--batch-per-device", "32", "--iters", "2",
+                     "--json"]) == 0
     out = capsys.readouterr().out
     assert "scaling-eff" in out
+    rows = json.loads(out.strip().splitlines()[-1])
+    assert rows[0]["mode"] == "dp" and rows[0]["scaling_eff"] == 1.0
 
 
 def test_microbench(capsys):

@@ -171,6 +171,41 @@ def test_fourstep_mxu_other_sets(rng):
 
 
 @needs8
+def test_auto_fallback_warns_loudly(data16, monkeypatch):
+    """local='auto' on a TPU backend must NOT silently downgrade to the
+    ~8x slower jnp locals: a RuntimeWarning naming the reason is required
+    (round-2 VERDICT item 3 — the old bare `except Exception: pass`
+    swallowed real plan-construction errors too)."""
+    import warnings
+    import jax as _jax
+    from qtesla_tpu.parallel import sharded as S
+    from qtesla_tpu.parallel import sharded_mxu as SM
+    ps, x, y, want = data16
+    mesh = make_mesh(data=2, model=4)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise ValueError("nloc unsupported for this config")
+
+    monkeypatch.setattr(SM, "fourstep_mxu_plans", boom)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fn = S.polymul_fourstep_sharded_fn(ps.name, mesh, local="auto")
+    msgs = [str(w.message) for w in rec
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("jnp local transforms" in m and "nloc unsupported" in m
+               for m in msgs), msgs
+    # the fallback must still be correct
+    np.testing.assert_array_equal(np.asarray(fn(x, y)), want)
+    # and an explicit local='mxu' must surface the error, not downgrade
+    with pytest.raises(ValueError, match="nloc unsupported"):
+        # polymul_fourstep_mxu_fn calls the (patched) plan builder
+        monkeypatch.setattr(SM, "polymul_fourstep_mxu_fn",
+                            lambda *a, **k: boom())
+        S.polymul_fourstep_sharded_fn(ps.name, mesh, local="mxu")
+
+
+@needs8
 def test_fourstep_sharded_roundtrip(data16):
     """Sharded forward + sharded inverse = identity (the inverse transform
     API, symmetric to ntt_fourstep_sharded_fn)."""

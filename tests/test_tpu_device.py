@@ -83,6 +83,44 @@ def test_roundtrip_on_device(name):
         np.asarray(intt_fused_fn(name)(ntt_fused_fn(name)(xj))), x)
 
 
+@pytest.mark.parametrize("name", SETS)
+def test_device_vs_host_oracle(name):
+    """Closure against a HOST-computed oracle: one small batch per set
+    checked directly vs the C++ (or big-int) schoolbook multiplier, so the
+    lane fails even if XLA:TPU miscompiled the jnp `merged` pipeline that
+    the other tests use as truth (round-2 VERDICT item 7 — device-run
+    `merged` as truth is a correlated-miscompile blind spot)."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.utils import native
+    ps, x, y = _operands(name, batch=6)
+    if native.native_available():
+        want = native.negacyclic_schoolbook(x, y, ps.q)
+    else:
+        from qtesla_tpu.oracle import negacyclic_schoolbook
+        want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                         for b in range(x.shape[0])]).astype(np.uint32)
+    for algo in ("merged", "mxu"):
+        z = np.asarray(polymul_negacyclic(x, y, ps, algo=algo))
+        np.testing.assert_array_equal(z, want, err_msg=f"algo={algo}")
+
+
+def test_nussbaumer_on_device():
+    """The paper's title algorithm, XLA-compiled on real hardware, vs the
+    host oracle (reference NTT.cu:147-277, test NTT.cu:1987-2005)."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.utils import native
+    name = "qtesla-iii-speed"
+    ps, x, y = _operands(name, batch=4)
+    if native.native_available():
+        want = native.negacyclic_schoolbook(x, y, ps.q)
+    else:
+        from qtesla_tpu.oracle import negacyclic_schoolbook
+        want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                         for b in range(x.shape[0])]).astype(np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="nussbaumer"))
+    np.testing.assert_array_equal(z, want)
+
+
 def test_tiny_and_ragged_batches_on_device():
     from qtesla_tpu.models import polymul_negacyclic
     from qtesla_tpu.params import get_params
