@@ -143,6 +143,57 @@ def main() -> int:
             print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:
             print(f"# dilithium-256 failed: {e}", file=sys.stderr)
+        # SP trend (round-2 VERDICT item 4): per-chip local pipeline of the
+        # sharded four-step vs the flagship — tax = k*t_local/t_flagship
+        try:
+            import numpy as np
+            import jax.numpy as jnp
+            from qtesla_tpu.parallel.sharded_mxu import local_pipeline_fn
+            from qtesla_tpu.params import get_params
+            from qtesla_tpu.utils.timing import measure
+            ps = get_params(PARAM_SET)
+            t_flag = BATCHES[0] / best[2].throughput_best \
+                if best[1] == BATCHES[0] else None
+            if t_flag is None:
+                t_flag = BATCHES[0] / benchmark_polymul(
+                    PARAM_SET, "mxu", batch=BATCHES[0],
+                    iters=ITERS).throughput_best
+            rng = np.random.default_rng(0)
+            for k in (2, 4, 8):
+                pipe, plans = local_pipeline_fn(PARAM_SET, k)
+                x = jnp.asarray(rng.integers(
+                    0, ps.q, (BATCHES[0], plans.nloc), dtype=np.uint32))
+                r = measure(pipe, x, x, warmup=2, iters=ITERS, chain=True,
+                            items_per_iter=BATCHES[0],
+                            name=f"sp_local[{PARAM_SET},k={k},"
+                                 f"B={BATCHES[0]}]")
+                tax = k * r.min_s / t_flag
+                norm = BATCHES[0] / (k * r.min_s)
+                print(f"# {r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
+                      f"{norm / 1e6:.2f} M/s", file=sys.stderr)
+        except Exception as e:
+            print(f"# sp_local failed: {e}", file=sys.stderr)
+    # CPU-mesh DP/SP relative throughput (scaling artifact; virtual
+    # devices — validates the code path and records the ratio trend, not
+    # real ICI scaling)
+    try:
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        cp = subprocess.run(
+            [sys.executable, "-m", "qtesla_tpu.cli", "scaling",
+             "--param-set", "qtesla-iii-speed", "--batch-per-device",
+             "512", "--iters", "3", "--model", "4", "--json"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        tail = [ln for ln in cp.stdout.strip().splitlines() if ln]
+        if cp.returncode == 0 and tail:
+            print(f"# cpu-mesh scaling: {tail[-1]}", file=sys.stderr)
+        else:
+            print(f"# cpu-mesh scaling failed: rc={cp.returncode} "
+                  f"{cp.stderr[-200:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"# cpu-mesh scaling failed: {e}", file=sys.stderr)
     return 0
 
 

@@ -201,6 +201,55 @@ def _reduce_kind(q: int) -> str:
     return "reduce_sparse" if sparse_reduce_plan(q) else "reduce_shoup"
 
 
+def _covers(D: int, bound: int) -> bool:
+    """Can D balanced base-256 digit planes represent every centered value
+    of an operand in [0, bound) (off = bound//2)?"""
+    span = (256 ** D - 1) // 255
+    return (bound - 1 - (bound >> 1) <= 127 * span
+            and (bound >> 1) <= 128 * span)
+
+
+def _plane_count(in_bound: int) -> int | None:
+    """Smallest digit-plane count (<= 4, the _digit_planes int32-bias cap)
+    covering a lazy operand in [0, in_bound), or None if uncoverable."""
+    for D in range(1, 5):
+        if _covers(D, in_bound):
+            return D
+    return None
+
+
+def _lazy_fwd_schedule(q: int, Lr: int):
+    """Per-wide-stage (lo_bnd, h_bnd) Harvey-laziness schedule for Lr
+    merged-CT stages starting from canonical input, chosen so every uint32
+    sum provably fits; returns (schedule, final output bound)."""
+    bnd = q
+    sched = []
+    for _ in range(Lr):
+        h_bnd = 4 * q
+        lo_bnd = bnd
+        if lo_bnd + h_bnd > 1 << 32:
+            h_bnd = 2 * q
+        if lo_bnd + h_bnd > 1 << 32:
+            lo_bnd = 2 * q
+        sched.append((lo_bnd, h_bnd))
+        bnd = lo_bnd + h_bnd
+    return sched, bnd
+
+
+def _recombine_bound(groups, bounds, q: int) -> int:
+    """STATIC mirror of _recombine_classes' output-bound arithmetic (same
+    term tracking, including the uint32-overflow fallback), so plan
+    builders can size a consumer's digit split before tracing; the kernels
+    assert the traced bound equals this."""
+    terms = [q - 1]
+    for j0, ln in groups:
+        terms.append(((1 << 31) + _group_bound(bounds, j0, ln))
+                     if j0 == 0 else 2 * q - 1)
+    if sum(terms) >= 1 << 32:
+        terms = [q - 1] * len(terms)
+    return sum(terms)
+
+
 def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
     """One matrix's int8 digit tables: K (bw, bw) exact ints, INPUT-major
     (out = x @ K).  Returns (Wblk int8 (Din, bw, Dout*bw), colsum object
@@ -315,36 +364,19 @@ class MxuTables:
         self.D = _ndigits(q)
         # wide-stage laziness schedule: per stage (lo_bnd, h_bnd) chosen so
         # every uint32 sum provably fits; final bound F = last lo_bnd+h_bnd
-        bnd = q
-        self.fwd_sched = []
-        for _ in range(self.Lr):
-            h_bnd = 4 * q
-            lo_bnd = bnd
-            if lo_bnd + h_bnd > 1 << 32:
-                h_bnd = 2 * q
-            if lo_bnd + h_bnd > 1 << 32:
-                lo_bnd = 2 * q
-            self.fwd_sched.append((lo_bnd, h_bnd))
-            bnd = lo_bnd + h_bnd
+        self.fwd_sched, bnd = _lazy_fwd_schedule(q, self.Lr)
         # The forward digit split may use MORE input planes than the matrix
         # has digit classes: Df = smallest plane count covering the lazy
         # wide-stage output bound.  One extra int8 plane + dot (hidden
         # behind the VPU work) buys skipping the canonicalizing csub chain
         # before the split — for q-i/q-iii this was previously "provably
         # impossible" only under the Df == D assumption (PERF_NOTES).
-        def covers(D: int, bound: int) -> bool:
-            span = (256 ** D - 1) // 255
-            return (bound - 1 - (bound >> 1) <= 127 * span
-                    and (bound >> 1) <= 128 * span)
-
-        # hard cap Df <= 4: _digit_planes' biased-byte extraction shifts an
-        # int32 by 8*(Df-1) bits and pre-adds a 0x..8080 bias — both break
-        # at 5 planes (out-of-range shift; bias outside int32).  Beyond the
-        # cap the forward falls back to the canonical pre-split csub chain.
-        Df = self.D
-        while not covers(Df, bnd) and Df < 4:
-            Df += 1
-        self.fwd_lazy = covers(Df, bnd)
+        # Hard cap Df <= 4 (_plane_count): _digit_planes' biased-byte
+        # extraction shifts an int32 by 8*(Df-1) bits and pre-adds a
+        # 0x..8080 bias — both break at 5 planes.  Beyond the cap the
+        # forward falls back to the canonical pre-split csub chain.
+        Df = _plane_count(bnd)
+        self.fwd_lazy = Df is not None
         self.Df = Df if self.fwd_lazy else self.D   # forward input planes
         self.Di = self.D                            # inverse input planes
         self.fwd_bound = bnd if self.fwd_lazy else q

@@ -1,14 +1,17 @@
 """Device measurement of the sharded four-step LOCAL compute (the work one
-chip does for its shard): fused MXU segment kernels vs the jnp Stockham
-local path they replace (round-2 VERDICT item 2).
+chip does for its shard): block-split MXU segment kernels vs the jnp
+Stockham local path and vs the single-chip flagship kernel.
 
 One chip in a (data=1, model=k) group holds (B, nloc=n/k) of every array;
 per full polymul the chip runs seg1 twice (both operands), seg2 once, seg3
 once, plus 3 all_to_alls (not measurable on one chip).  Aggregate
 throughput of a k-chip group = B / t_local (k chips work concurrently), so
-per-chip-normalized throughput = B / (k * t_local).
+per-chip-normalized throughput = B / (k * t_local), and the "SP tax" =
+k * t_local / t_flagship (1.0 = perfect: a k-chip group matches k
+independent chips running the flagship kernel).
 
-Usage: python scripts/probe_sp.py [--batch 16384] [--k 4]
+Usage: python scripts/probe_sp.py [--batch 16384] [--k 2,4,8]
+                                  [--name qtesla-iii-speed] [--jnp]
 """
 
 import argparse
@@ -22,49 +25,36 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from qtesla_tpu.parallel import sharded_mxu as SM                # noqa: E402
-from qtesla_tpu.utils.timing import measure                      # noqa: E402
-
-NAME = "qtesla-iii-speed"
+from qtesla_tpu.utils.timing import benchmark_polymul, measure   # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--k", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=400)
-    args = ap.parse_args()
-    B, k = args.batch, args.k
-    from qtesla_tpu.params import get_params
-    ps = get_params(NAME)
-    n = ps.n
+def run_k(name, k, B, iters, ps, include_jnp):
     n1 = 1 << (ps.logn // 2)
-    plans = SM.fourstep_mxu_plans(NAME, n1, k)
+    local_pipeline, plans = SM.local_pipeline_fn(name, k, n1)
     nloc = plans.nloc
-    tb = 256
-    seg1 = SM._make_seg1(plans, tb, False)
-    seg2 = SM._make_seg2(plans, tb, False)
-    seg3 = SM._make_seg3(plans, tb, False)
-    t1 = (jnp.asarray(plans.p1.W[:1]), jnp.asarray(plans.p1.const[:1]))
-    t2 = (jnp.asarray(plans.p2f.W), jnp.asarray(plans.p2f.const),
-          jnp.asarray(plans.p2i.W[:1]), jnp.asarray(plans.p2i.const[:1]))
-    t3 = (jnp.asarray(plans.p3.W[:1]), jnp.asarray(plans.p3.const[:1]))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
+    r = measure(local_pipeline, x, y, warmup=2, iters=iters,
+                chain=True, items_per_iter=B,
+                name=f"sp_local_mxu[{name},k={k}]")
+    print(f"{r.line()}  -> per-chip-normalized "
+          f"{B / (k * r.min_s) / 1e6:.2f} M polymuls/s/chip", flush=True)
 
-    @jax.jit
-    def local_pipeline(x, y):
-        vx = seg1(x, *t1)
-        vy = seg1(y, *t1)
-        w = seg2(vx, vy, *t2)
-        return seg3(w, *t3)
+    if include_jnp:
+        _run_jnp(name, k, B, iters, ps, n1)
+    return r
 
-    # jnp Stockham local equivalent (what round 1 shipped): per chip,
-    # column NTT over n1 on (B, n1, n2k) + twiddle; row NTT over n2 on
-    # (B, n1k, n2); pointwise; and the inverse mirror
+
+def _run_jnp(name, k, B, iters, ps, n1):
+    """jnp Stockham local equivalent (what round 1 shipped)."""
     from qtesla_tpu.ops import ntt as N
     from qtesla_tpu.ops.modmul import shoup_mulmod
     from qtesla_tpu.ops.ntt import _subtables
     from qtesla_tpu.parallel.sharded import _fourstep_tables
-    T = _fourstep_tables(NAME, n1)
-    st1, st2 = _subtables(NAME, n1), _subtables(NAME, n2b := n // n1)
+    T = _fourstep_tables(name, n1)
+    n2b = ps.n // n1
+    st1, st2 = _subtables(name, n1), _subtables(name, n2b)
     n2k, n1k = n2b // k, n1 // k
     phi = jnp.asarray(T["phi"][:, :n2k])
     phis = jnp.asarray(T["phi_sh"][:, :n2k])
@@ -85,7 +75,7 @@ def main():
         vy = jnp_fwd(y3).reshape(B, n1k, n2b)
         X = N.stockham_fwd(vx, st2)
         Y = N.stockham_fwd(vy, st2)
-        Z = N.pointwise_mul(X, Y, SM.get_tables(NAME))
+        Z = N.pointwise_mul(X, Y, SM.get_tables(name))
         w = shoup_mulmod(N.stockham_inv(Z, st2), Wi[None, :, :],
                          Wish[None, :, :], ps.q)
         w = w.reshape(B, n1, n2k)
@@ -95,19 +85,35 @@ def main():
                             jnp.asarray(T["ipsi_sh"][:, :n2k]), ps.q)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
-    y = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
-    r = measure(local_pipeline, x, y, warmup=2, iters=args.iters,
-                chain=True, items_per_iter=B, name=f"sp_local_mxu[k={k}]")
-    print(f"{r.line()}  -> per-chip-normalized "
-          f"{B / (k * r.min_s) / 1e6:.2f} M polymuls/s/chip", flush=True)
-    x3 = x.reshape(B, n1, n2k)
-    y3 = y.reshape(B, n1, n2k)
-    r2 = measure(jnp_local_pipeline, x3, y3, warmup=2, iters=args.iters,
-                 chain=True, items_per_iter=B, name=f"sp_local_jnp[k={k}]")
+    x3 = jnp.asarray(rng.integers(0, ps.q, (B, n1, n2k), dtype=np.uint32))
+    y3 = jnp.asarray(rng.integers(0, ps.q, (B, n1, n2k), dtype=np.uint32))
+    r2 = measure(jnp_local_pipeline, x3, y3, warmup=2, iters=iters,
+                 chain=True, items_per_iter=B,
+                 name=f"sp_local_jnp[{name},k={k}]")
     print(f"{r2.line()}  -> per-chip-normalized "
           f"{B / (k * r2.min_s) / 1e6:.2f} M polymuls/s/chip", flush=True)
-    print(f"mxu/jnp local speedup: {r2.min_s / r.min_s:.2f}x", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--k", default="2,4,8")
+    ap.add_argument("--name", default="qtesla-iii-speed")
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--jnp", action="store_true",
+                    help="also time the round-1 jnp local path")
+    args = ap.parse_args()
+    from qtesla_tpu.params import get_params
+    ps = get_params(args.name)
+    flag = benchmark_polymul(args.name, "mxu", batch=args.batch,
+                             iters=args.iters)
+    print(f"{flag.line()}", flush=True)
+    for k in [int(v) for v in args.k.split(",")]:
+        r = run_k(args.name, k, args.batch, args.iters, ps, args.jnp)
+        tax = k * r.min_s / flag.min_s
+        print(f"  SP tax at k={k}: {tax:.2f}x  "
+              f"(k*t_local {k * r.min_s * 1e3:.3f} ms vs flagship "
+              f"{flag.min_s * 1e3:.3f} ms)", flush=True)
 
 
 if __name__ == "__main__":

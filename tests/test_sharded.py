@@ -171,6 +171,29 @@ def test_fourstep_mxu_other_sets(rng):
 
 
 @needs8
+def test_fourstep_mxu_large_nloc(rng):
+    """Configs the round-2 dense path hard-capped (_MAX_DENSE=512):
+    qtesla-p-iii at model=2 has nloc=1024 and dilithium-4096 at model=2
+    has nloc=2048 — the block-split rebuild must handle both bit-exactly
+    (round-2 VERDICT item 1)."""
+    from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
+    from qtesla_tpu.params import register_param_set
+    register_param_set("dilithium-4096", n=4096, q=8380417)
+    for name, mesh, B in [("qtesla-p-iii", make_mesh(data=4, model=2), 8),
+                          ("dilithium-4096", make_mesh(data=1, model=2),
+                           2)]:
+        ps = get_params(name)
+        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        x[0, :] = ps.q - 1
+        y[0, :] = ps.q - 1
+        want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+        z = np.asarray(polymul_fourstep_mxu_fn(name, mesh,
+                                               interpret=True)(x, y))
+        np.testing.assert_array_equal(z, want, err_msg=name)
+
+
+@needs8
 def test_auto_fallback_warns_loudly(data16, monkeypatch):
     """local='auto' on a TPU backend must NOT silently downgrade to the
     ~8x slower jnp locals: a RuntimeWarning naming the reason is required

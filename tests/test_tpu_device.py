@@ -137,48 +137,60 @@ def test_tiny_and_ragged_batches_on_device():
 def test_sp_segment_kernels_on_device():
     """The sharded four-step segment kernels, Mosaic-compiled on real
     hardware (no shard_map — single-chip runs of each per-device kernel
-    against exact numpy object-int matrix arithmetic)."""
+    against exact numpy object-int matrix arithmetic).  Segment outputs
+    are LAZY (stored unreduced, round-3 design): checks are congruence
+    mod q plus the plan's static store bound; seg3 output is canonical."""
     import jax.numpy as jnp
     from qtesla_tpu.parallel import sharded_mxu as SM
     from qtesla_tpu.params import get_params
 
     name = "qtesla-iii-speed"
     ps = get_params(name)
+    q = ps.q
     k = 4
     n1 = 1 << (ps.logn // 2)
     plans = SM.fourstep_mxu_plans(name, n1, k)
     nloc = plans.nloc
     rng = np.random.default_rng(11)
     B = 16
-    x = rng.integers(0, ps.q, (B, nloc), dtype=np.uint32)
-    y = rng.integers(0, ps.q, (B, nloc), dtype=np.uint32)
+    x = rng.integers(0, q, (B, nloc), dtype=np.uint32)
+    y = rng.integers(0, q, (B, nloc), dtype=np.uint32)
 
     def matmod(v, M):
-        return ((v.astype(object) @ M.astype(object)) % ps.q
-                ).astype(np.uint32)
+        return ((v.astype(object) @ M.astype(object)) % q)
 
-    # rebuild the exact per-device matrices the plans were generated from
+    def assert_lazy_equal(out, want_obj, bound):
+        assert out.max() < bound
+        np.testing.assert_array_equal(out.astype(object) % q,
+                                      want_obj % q)
+
+    # independent dense per-device matrices from the mathematical spec
+    # (NOT from the plans): seg1 output position p holds the k1map[p]
+    # spectral row, so M1[:, (p, lam)] = phi * R1[:, k1map[p]] * W[k1map].
     from qtesla_tpu.parallel.sharded import _fourstep_tables
     from qtesla_tpu.ops.ntt import _subtables
     T = _fourstep_tables(name, n1)
     n2 = ps.n // n1
     n2k, n1k = n2 // k, n1 // k
     R1 = SM._transform_matrix(_subtables(name, n1), inverse=False)
+    k1map = plans.k1map
     d = 1                                   # exercise a non-trivial device
     M1 = np.zeros((nloc, nloc), dtype=object)
     for j2l in range(n2k):
         j2g = d * n2k + j2l
-        blk = (T["phi"].astype(object)[:, j2g, None] * R1
-               * T["W"].astype(object)[None, :, j2g]) % ps.q
-        M1[j2l::n2k, j2l::n2k] = blk
+        col = (T["phi"].astype(object)[:, j2g, None]
+               * R1[:, k1map]                       # position-permuted
+               * T["W"].astype(object)[k1map, j2g][None, :]) % q
+        M1[j2l::n2k, j2l::n2k] = col
 
     seg1 = SM._make_seg1(plans, 256, False)
     out = np.asarray(seg1(jnp.asarray(x),
                           jnp.asarray(plans.p1.W[d:d + 1]),
                           jnp.asarray(plans.p1.const[d:d + 1])))
-    np.testing.assert_array_equal(out, matmod(x, M1))
+    assert_lazy_equal(out, matmod(x, M1), plans.p1.store_bound)
 
-    # segment 2: row NTTs + pointwise + inverse row (device d, all rows)
+    # segment 2: row NTTs + pointwise + inverse row (device d, all rows;
+    # row r holds position p = d*n1k + r -> Winv[k1map[p]])
     R2 = SM._transform_matrix(_subtables(name, n2), inverse=False)
     R2i = SM._transform_matrix(_subtables(name, n2), inverse=True)
     seg2 = SM._make_seg2(plans, 256, False)
@@ -187,13 +199,38 @@ def test_sp_segment_kernels_on_device():
                            jnp.asarray(plans.p2f.const),
                            jnp.asarray(plans.p2i.W[d:d + 1]),
                            jnp.asarray(plans.p2i.const[d:d + 1])))
-    want2 = np.empty_like(out2)
+    want2 = np.zeros((B, nloc), dtype=object)
     for r in range(n1k):
-        k1 = d * n1k + r
+        k1 = int(k1map[d * n1k + r])
         sl = slice(r * n2, (r + 1) * n2)
         X = matmod(x[:, sl], R2)
         Y = matmod(y[:, sl], R2)
-        Z = ((X.astype(object) * Y.astype(object)) % ps.q)
-        Mi = (R2i * T["Winv"].astype(object)[None, k1, :]) % ps.q
-        want2[:, sl] = ((Z @ Mi.astype(object)) % ps.q).astype(np.uint32)
-    np.testing.assert_array_equal(out2, want2)
+        Z = (X * Y) % q
+        Mi = (R2i * T["Winv"].astype(object)[None, k1, :]) % q
+        want2[:, sl] = (Z @ Mi) % q
+    assert_lazy_equal(out2, want2, plans.p2i.store_bound)
+
+    # segment 3: inverse column transform consuming position-indexed rows;
+    # exact inverse built from the merged-forward spec: out = v @ M3 with
+    # M3[(p, lam), (j1, lam)] = n1^{-1} psi1^{-j1} om1^{-j1*k1map[p]}
+    # * psi^{-j2g}.  Canonical output.
+    t1ps = _subtables(name, n1).ps
+    psi1_inv = pow(int(t1ps.psi), -1, q)
+    om1_inv = pow(int(t1ps.omega), -1, q)
+    n1_inv = pow(n1, -1, q)
+    M3 = np.zeros((nloc, nloc), dtype=object)
+    for j2l in range(n2k):
+        j2g = d * n2k + j2l
+        blk = np.zeros((n1, n1), dtype=object)
+        for p in range(n1):
+            for j1 in range(n1):
+                blk[p, j1] = (n1_inv * pow(psi1_inv, j1, q)
+                              * pow(om1_inv, j1 * int(k1map[p]), q)
+                              * pow(int(ps.psi), -j2g, q)) % q
+        M3[j2l::n2k, j2l::n2k] = blk
+    seg3 = SM._make_seg3(plans, 256, False)
+    out3 = np.asarray(seg3(jnp.asarray(x),
+                           jnp.asarray(plans.p3.W[d:d + 1]),
+                           jnp.asarray(plans.p3.const[d:d + 1])))
+    np.testing.assert_array_equal(
+        out3.astype(object), matmod(x, M3))
