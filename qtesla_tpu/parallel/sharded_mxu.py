@@ -65,13 +65,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as N
 from ..ops.ntt import _subtables
-from ..ops.modmul import mulmod_barrett
 from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds, _digit_planes,
                            _fwd_matrix, _fwd_rolls, _input_digit_maxima,
                            _inv_matrix, _inv_rolls, _lazy_fwd_schedule,
                            _matrix_digit_block, _ndigits, _plan_groups,
                            _plane_count, _recombine_bound,
                            _recombine_classes, _reduce_kind,
+                           pointwise_bound, pointwise_lazy,
                            reduce_bounded_2q)
 from ..ops.tables import NttTables, get_tables
 
@@ -260,16 +260,17 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
                 K2i[d, bb, sl, sl] = (R2i
                                       * Winv[int(k1map[p])][None, :]) % q
 
+    pw_bound = pointwise_bound(q)
     p1 = _digit_plan(K1, q, one_shoup, in_bound=rolls.fwd_bound)
     p2f = _digit_plan(K2f, q, one_shoup, in_bound=p1.store_bound,
                       reduce_uncoverable=False)   # feeds the pointwise
-    p2i = _digit_plan(K2i, q, one_shoup, in_bound=q)
+    p2i = _digit_plan(K2i, q, one_shoup, in_bound=pw_bound)
     p3 = _digit_plan(K3, q, one_shoup, in_bound=p2i.store_bound,
                      downstream=_reduce_kind(q), reduce_uncoverable=False)
     return types.SimpleNamespace(
         name=name, n=n, q=q, n1=n1, n2=n2, k=k, n1k=n1k, n2k=n2k,
         nloc=nloc, TW=TW, A=A, Bk=Bk, Lr=Lr, ps=tbl.ps, rolls=rolls,
-        k1map=k1map, p1=p1, p2f=p2f, p2i=p2i, p3=p3)
+        pw_bound=pw_bound, k1map=k1map, p1=p1, p2f=p2f, p2i=p2i, p3=p3)
 
 
 # ----------------------------------------------------------------------
@@ -366,7 +367,7 @@ def _seg2_block(x_sl, y_sl, bb, plans, wf_ref, cf_ref, wi_ref, ci_ref,
     X = _apply_lazy(x_sl, _w_slices(wf_ref, (), pf.din), cf_ref[:], pf)
     Y = (y_sl if y_is_spectrum else
          _apply_lazy(y_sl, _w_slices(wf_ref, (), pf.din), cf_ref[:], pf))
-    Z = mulmod_barrett(X, Y, q, ps.r32, ps.r32_shoup, ps.one_shoup)
+    Z = pointwise_lazy(X, Y, q, ps, plans.pw_bound)
     lazy = _apply_lazy(Z, _w_slices(wi_ref, (0, bb), pi.din),
                        ci_ref[0, bb], pi)
     if pi.needs_reduce:
