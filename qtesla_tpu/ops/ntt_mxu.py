@@ -125,6 +125,86 @@ def _inv_matrix(tbl: NttTables, s_hi: int) -> np.ndarray:
     return M % q
 
 
+def _apply_shrink(v, m, limit_m: int, q: int, one_shoup: int):
+    """Reduce one lazy term (value v, inclusive worst-case max m) to
+    <= limit_m (a 2^k*q - 1 threshold), by the cheapest exact route: a
+    sloppy-Shoup-by-1 fold when the bound is huge, else a _csub_to-style
+    csub chain.  v may be None (static cost/bound mode — the SAME code
+    plans and emits, so they can never disagree).  Returns
+    (v', m', shoups, csubs)."""
+    sh = cs = 0
+    if m > 16 * q:
+        if v is not None:
+            v = shoup_mulmod_sloppy(v, jnp.uint32(1),
+                                    jnp.uint32(one_shoup), q)
+        m = 4 * q - 1
+        sh = 1
+    while m > limit_m:
+        t = max((m // q).bit_length() - 1,
+                ((limit_m + 1) // q).bit_length() - 1)
+        c = (1 << t) * q
+        if v is not None:
+            v = _csub(v, c)
+        cs += 1
+        m = max(c - 1, m - c)
+    return v, m, sh, cs
+
+
+def _pack_terms(vals, maxima, q: int, one_shoup: int):
+    """Deterministic overflow fixer for the recombination term sum: while
+    the inclusive maxima could sum past uint32, shrink the largest term
+    (earliest on ties) one threshold step (2q-1, then q-1).  `vals` may be
+    all-None for static planning.  Returns (vals, maxima, shoups, csubs)."""
+    vals, maxima = list(vals), list(maxima)
+    sh = cs = 0
+    while sum(maxima) >= 1 << 32:
+        k = max(range(len(maxima)), key=lambda i: (maxima[i], -i))
+        assert maxima[k] > q - 1, "recombination terms cannot fit uint32"
+        limit = 2 * q - 1 if maxima[k] > 2 * q - 1 else q - 1
+        vals[k], maxima[k], s1, c1 = _apply_shrink(
+            vals[k], maxima[k], limit, q, one_shoup)
+        sh += s1
+        cs += c1
+    return vals, maxima, sh, cs
+
+
+def _initial_terms(groups, bounds, q: int) -> list[int]:
+    """Inclusive worst-case maxima of the recombination terms before the
+    overflow fixer: const row (< q), then per group either the exactly-
+    biased Horner value (group 0: u = g + gb <= 2*gb) or the post-Shoup
+    2q-1 (non-zero groups)."""
+    terms = [q - 1]
+    for j0, ln in groups:
+        terms.append(2 * _group_bound(bounds, j0, ln) if j0 == 0
+                     else 2 * q - 1)
+    return terms
+
+
+def _plan_cost(groups, bounds, q: int, downstream: str):
+    """(shoups, csubs, ngroups) of one candidate plan plus its lazy output
+    bound — the exact mirror of _recombine_classes' emission (shared
+    _pack_terms/_apply_shrink code paths)."""
+    sh = sum(1 for j0, _ in groups if j0 != 0)
+    cs = sh                                   # csub to < 2q after each Shoup
+    terms = _initial_terms(groups, bounds, q)
+    _, terms, s2, c2 = _pack_terms([None] * len(terms), terms, q, 0)
+    sh += s2
+    cs += c2
+    bound = sum(terms)
+    if downstream != "any" and bound > 2 * q:
+        if bound <= 16 * q:                  # reduce_bounded_2q csub chain
+            b = bound
+            while b > 2 * q:
+                cs += 1
+                b = max(2 * q, (b + 1) // 2)
+        elif downstream == "reduce_shoup":
+            sh += 1
+            cs += 1
+        else:                                # sparse shift-add, no multiply
+            cs += 3
+    return (sh, cs, len(groups)), bound
+
+
 def _plan_groups(bounds: list[int], q: int,
                  downstream: str = "any") -> list[tuple[int, int]]:
     """Pack digit classes j (weight 2^{8j}, worst-case |c_j| <= bounds[j])
@@ -134,18 +214,19 @@ def _plan_groups(bounds: list[int], q: int,
     other group costs one Shoup multiply by 2^{8*j0} mod q.
 
     All 2^(Dout-1) consecutive compositions are enumerated and costed with
-    the SAME emission model _one_block_matmul uses — including the
-    overflow fallback that fires when the lazy uint32 term sum would
-    exceed 2^32 (packing group 0 too greedily can push the sum over and
-    cost MORE than the Shoup it saved; measured -3.5% on qtesla-p-i
-    before this planner learned about it).
+    the SAME emission model _recombine_classes uses (_plan_cost), including
+    the deterministic overflow fixer that shrinks terms when the lazy
+    uint32 sum would exceed 2^32.  Groups are biased by their EXACT bound
+    (u = g + gb), not a blanket 2^31 — for 30-bit q the difference decides
+    whether the fixer fires at all (2^31 + 3q > 2^32 for q > 2^29.4, so a
+    2^31 bias forced a Shoup fallback on every qtesla-p-iii recombination;
+    measured round 3).
 
     `downstream` names what consumes the lazy output (the forward feeds
     the Barrett pointwise, which accepts any uint32: 'any'; the inverse
     must reduce to [0, 2q): 'reduce_sparse' when q has a shift-add plan,
-    'reduce_shoup' otherwise) — a plan whose fallback already compressed
-    every term makes that reduction a couple of csubs instead of a Shoup,
-    so the optimum depends on the consumer."""
+    'reduce_shoup' otherwise) — the post-reduction cost depends on the
+    plan's output bound, so the optimum depends on the consumer."""
     D = len(bounds)
 
     def compositions(j):
@@ -157,38 +238,8 @@ def _plan_groups(bounds: list[int], q: int,
                 for rest in compositions(j + ln):
                     yield [(j, ln)] + rest
 
-    def cost(groups):
-        shoups = csubs = 0
-        terms = [q - 1]                      # const row
-        for j0, ln in groups:
-            if j0 == 0:
-                terms.append((1 << 31) + _group_bound(bounds, j0, ln))
-            else:
-                shoups += 1
-                csubs += 1
-                terms.append(2 * q - 1)
-        if sum(terms) >= 1 << 32:            # the fallback reduce pass
-            for bd in terms:
-                if bd >= 2 * q:
-                    shoups += 1
-                    csubs += 1
-                csubs += 1
-            terms = [q - 1] * len(terms)
-        bound = sum(terms)   # matches _recombine_classes' bound
-        if downstream != "any" and bound > 2 * q:
-            if bound <= 16 * q:              # reduce_bounded_2q csub chain
-                b = bound
-                while b > 2 * q:
-                    csubs += 1
-                    b = max(2 * q, (b + 1) // 2)
-            elif downstream == "reduce_shoup":
-                shoups += 1
-                csubs += 1
-            else:                            # sparse shift-add, no multiply
-                csubs += 3
-        return (shoups, csubs, len(groups))
-
-    return min(compositions(0), key=cost)
+    return min(compositions(0),
+               key=lambda g: _plan_cost(g, bounds, q, downstream)[0])
 
 
 def _group_bound(bounds, j0, ln) -> int:
@@ -201,19 +252,37 @@ def _reduce_kind(q: int) -> str:
     return "reduce_sparse" if sparse_reduce_plan(q) else "reduce_shoup"
 
 
-def _covers(D: int, bound: int) -> bool:
-    """Can D balanced base-256 digit planes represent every centered value
-    of an operand in [0, bound) (off = bound//2)?"""
-    span = (256 ** D - 1) // 255
-    return (bound - 1 - (bound >> 1) <= 127 * span
-            and (bound >> 1) <= 128 * span)
+def _split_bias(D: int, base: int) -> int:
+    """The borrow-propagation pre-bias of a D-plane balanced base-`base`
+    split: sum of (base/2)*base^i over the D-1 low planes."""
+    lb = base.bit_length() - 1
+    return sum((base // 2) << (lb * i) for i in range(D - 1))
 
 
-def _plane_count(in_bound: int) -> int | None:
-    """Smallest digit-plane count (<= 4, the _digit_planes int32-bias cap)
-    covering a lazy operand in [0, in_bound), or None if uncoverable."""
-    for D in range(1, 5):
-        if _covers(D, in_bound):
+def _covers(D: int, bound: int, base: int = 256) -> bool:
+    """Can D balanced base-`base` digit planes (low planes in
+    [-base/2, base/2), top plane the arithmetic-shift residue, which must
+    fit int8) represent every centered value of an operand in [0, bound)
+    (off = bound//2)?  Exact predicate mirroring _digit_planes' bit
+    algebra: the biased value must fit int32 and the top shift stay
+    within the 32-bit word."""
+    off = bound >> 1
+    lb = base.bit_length() - 1
+    bias = _split_bias(D, base)
+    s = lb * (D - 1)
+    if s > 28 or bound - 1 - off + bias >= 1 << 31:
+        return False
+    top_min = (-off + bias) >> s
+    top_max = (bound - 1 - off + bias) >> s
+    return -128 <= top_min and top_max <= 127
+
+
+def _plane_count(in_bound: int, base: int = 256) -> int | None:
+    """Smallest digit-plane count covering a lazy operand in [0, in_bound)
+    at the given digit base (256: up to 4 planes; 128: up to 5 — the
+    _covers shift cap), or None if uncoverable."""
+    for D in range(1, 7):
+        if _covers(D, in_bound, base):
             return D
     return None
 
@@ -237,31 +306,32 @@ def _lazy_fwd_schedule(q: int, Lr: int):
 
 
 def _recombine_bound(groups, bounds, q: int) -> int:
-    """STATIC mirror of _recombine_classes' output-bound arithmetic (same
-    term tracking, including the uint32-overflow fallback), so plan
-    builders can size a consumer's digit split before tracing; the kernels
-    assert the traced bound equals this."""
-    terms = [q - 1]
-    for j0, ln in groups:
-        terms.append(((1 << 31) + _group_bound(bounds, j0, ln))
-                     if j0 == 0 else 2 * q - 1)
-    if sum(terms) >= 1 << 32:
-        terms = [q - 1] * len(terms)
+    """STATIC mirror of _recombine_classes' output-bound arithmetic (the
+    shared _initial_terms + _pack_terms path), so plan builders can size a
+    consumer's digit split before tracing; the kernels assert the traced
+    bound equals this."""
+    terms = _initial_terms(groups, bounds, q)
+    _, terms, _, _ = _pack_terms([None] * len(terms), terms, q, 0)
     return sum(terms)
 
 
-def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
+def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray,
+                        in_base: int = 256):
     """One matrix's int8 digit tables: K (bw, bw) exact ints, INPUT-major
     (out = x @ K).  Returns (Wblk int8 (Din, bw, Dout*bw), colsum object
     (bw,)) and accumulates max-|digit| into mw (Din, Dout) — the single
-    shared implementation of the 2^{8i}-scaled centered balanced-digit
+    shared implementation of the in_base^i-scaled centered balanced-digit
     expansion used by both the single-chip stage tables and the sharded
-    segment plans (parallel/sharded_mxu.py)."""
+    segment plans (parallel/sharded_mxu.py).  The matrix digits are always
+    base-256 (class weights 2^{8j}); `in_base` is the INPUT split's base —
+    128 halves the input digit magnitudes (hence the class bounds) at the
+    price of one extra plane, which is what buys the p-sets a 1-Shoup
+    no-overflow recombination plan."""
     bw = K.shape[0]
     K = K.astype(object) % q
     Wblk = np.zeros((Din, bw, Dout * bw), dtype=np.int8)
     for i in range(Din):
-        Ki = (K * pow(2, 8 * i, q)) % q
+        Ki = (K * pow(in_base, i, q)) % q
         Kc = np.where(Ki > q // 2, Ki - q, Ki)   # centered, |.| <= q/2
         for jd, dig in enumerate(_balanced_digits(Kc.astype(np.int64),
                                                   Dout)):
@@ -270,20 +340,21 @@ def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray):
     return Wblk, K.sum(axis=0)
 
 
-def _input_digit_maxima(Din: int, off: int, in_bound: int) -> list[int]:
+def _input_digit_maxima(Din: int, off: int, in_bound: int,
+                        base: int = 256) -> list[int]:
     """Exact per-plane max |digit_i(v - off)| over v in [0, in_bound).
 
-    Planes 0..Din-2 are balanced bytes (<= 128); the TOP plane is the
+    Planes 0..Din-2 are balanced (<= base/2); the TOP plane is the
     arithmetic-shift residue of the biased value, bounded by the actual
     centered range — e.g. only +-32 for a canonical 30-bit q in 4 planes.
-    Using the exact top bound instead of a blanket 128 is what lets the
-    Horner packing fit two classes per int32 group for the p-sets (one
-    recombination Shoup instead of two)."""
+    Using the exact top bound instead of a blanket base/2 is what lets the
+    Horner packing fit two classes per int32 group for the p-sets."""
     cmin, cmax = -off, in_bound - 1 - off
-    bias = sum(128 << (8 * i) for i in range(Din - 1))
-    s = 8 * (Din - 1)
+    lb = base.bit_length() - 1
+    bias = _split_bias(Din, base)
+    s = lb * (Din - 1)
     top = max(abs((cmin + bias) >> s), abs((cmax + bias) >> s))
-    return [128] * (Din - 1) + [int(top)]
+    return [base // 2] * (Din - 1) + [int(top)]
 
 
 def _digit_bounds(mw: np.ndarray, bw: int, dmax: list[int]):
@@ -295,29 +366,35 @@ def _digit_bounds(mw: np.ndarray, bw: int, dmax: list[int]):
     return bounds
 
 
-def _const_row(colsum, off: int, groups, q: int) -> np.ndarray:
+def _const_row(colsum, off: int, groups, bounds, q: int) -> np.ndarray:
     """Per-output const row folding the operand-centering offset and the
-    per-group +2^31 biases (u_g = g + 2^31 exactly by two's complement)."""
-    bias_sum = sum((1 << 31) * pow(2, 8 * j0, q) for j0, _ in groups)
+    per-group exact biases (u_g = g + gb_g exactly by two's-complement
+    wraparound; gb_g = the group's Horner bound, so u_g <= 2*gb_g — far
+    tighter than a blanket 2^31 for small groups, which is what keeps the
+    uint32 term sum under 2^32 for the 30-bit-q parameter sets)."""
+    bias_sum = sum(_group_bound(bounds, j0, ln) * pow(2, 8 * j0, q)
+                   for j0, ln in groups)
     return np.asarray([(off * int(cs) - bias_sum) % q for cs in colsum],
                       dtype=np.uint32)
 
 
 def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
-                        off: int, in_bound: int, downstream: str = "any"):
+                        off: int, in_bound: int, downstream: str = "any",
+                        in_base: int = 256):
     """Turn a block-diagonal (n, n) stage matrix into MXU operand tables.
 
     Din is the number of INPUT digit planes (>= the matrix digit count when
     the operand is lazy — the extra plane is what lets q-i/q-iii skip the
     pre-split canonicalization chain entirely), Dout the number of digit
-    classes of the centered matrix entries.
+    classes of the centered matrix entries, in_base the input split's
+    digit base (256 or 128 — see _matrix_digit_block).
 
     Returns (W, const, bounds): W int8 of shape (nb, Din, bw, Dout*bw) with
-    W[b, i, :, j*bw:(j+1)*bw] = digit_j(center(2^{8i} * M_b^T mod q)); const
-    uint32 (nb, 1, bw) folding the operand-centering offset `off` (q//2 for
-    canonical inputs, lazy-bound//2 for the lazy forward split) and the
-    recombination biases; bounds[j] = exact worst-case |c_j| over all blocks
-    (used to plan the int32 class packing).  In-kernel:
+    W[b, i, :, j*bw:(j+1)*bw] = digit_j(center(in_base^i * M_b^T mod q));
+    const uint32 (nb, 1, bw) folding the operand-centering offset `off`
+    (q//2 for canonical inputs, lazy-bound//2 for the lazy forward split)
+    and the recombination biases; bounds[j] = exact worst-case |c_j| over
+    all blocks (used to plan the int32 class packing).  In-kernel:
 
         out_k = sum_j 2^{8j} c_jk + const_k   (mod q),
         c_j   = sum_i digits_i(x - off) @ W[b, i][:, j*bw:(j+1)*bw].
@@ -326,20 +403,72 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
     nb = n // bw
     W = np.zeros((nb, Din, bw, Dout * bw), dtype=np.int8)
     colsums = np.zeros((nb, bw), dtype=object)
-    mw = np.zeros((Din, Dout), dtype=np.int64)   # max |digit_j(2^{8i} K)|
+    mw = np.zeros((Din, Dout), dtype=np.int64)   # max |digit_j(b^i K)|
     for b in range(nb):
         Mb = M[b * bw:(b + 1) * bw, b * bw:(b + 1) * bw]
         # block-diagonality sanity: nothing outside the diagonal block
         row = M[b * bw:(b + 1) * bw].copy()
         row[:, b * bw:(b + 1) * bw] = 0
         assert not row.any(), "stage range is not block-local"
-        W[b], colsums[b] = _matrix_digit_block(Mb.T, q, Din, Dout, mw)
-    bounds = _digit_bounds(mw, bw, _input_digit_maxima(Din, off, in_bound))
+        W[b], colsums[b] = _matrix_digit_block(Mb.T, q, Din, Dout, mw,
+                                               in_base)
+    bounds = _digit_bounds(mw, bw,
+                           _input_digit_maxima(Din, off, in_bound, in_base))
     groups = _plan_groups(bounds, q, downstream)
     const = np.zeros((nb, 1, bw), dtype=np.uint32)
     for b in range(nb):
-        const[b, 0, :] = _const_row(colsums[b], off, groups, q)
+        const[b, 0, :] = _const_row(colsums[b], off, groups, bounds, q)
     return W, const, bounds, groups
+
+
+# Relative VPU-op cost estimates for the split search: a sloppy Shoup is
+# ~4 vector ops (2 multiplies + widemul-hi + sub), a csub ~2 (compare +
+# select), and an extra input digit plane ~3 extraction ops per input
+# coeff plus Dout int32 accumulate adds per output coeff.  The MXU MACs an
+# extra plane adds are not costed — at bw=128 they hide behind the VPU
+# work (measured: the bw sweep in PERF_NOTES shows MACs only stop hiding
+# at bw>=256).
+_COST_SHOUP, _COST_CSUB, _COST_PLANE = 4, 2, 3
+
+
+def _chain_csubs(bnd: int, limit: int, q: int) -> int:
+    """Static csub count of the _csub_to chain bnd -> limit (same halving
+    schedule), for costing a canonical pre-split fallback."""
+    cs = 0
+    while bnd > limit:
+        t = max(((bnd - 1) // q).bit_length() - 1,
+                (limit // q).bit_length() - 1)
+        c = (1 << t) * q
+        cs += 1
+        bnd = max(c, bnd - c)
+    return cs
+
+
+def _search_split(M: np.ndarray, q: int, bw: int, in_bound: int,
+                  downstream: str):
+    """Search the input digit split of a stage-matrix table over the
+    candidate (base, plane-count) pairs: base-256 at the minimal covering
+    plane count, and base-128 — halving the input digit magnitudes (hence
+    every class bound) for one extra plane, which for the 30-bit-q p-sets
+    turns a 2-Shoup overflow-fixed recombination into a 1-Shoup
+    no-overflow one (round-3 measurement).  Each candidate is built in
+    full and costed with the same static model the emission uses
+    (_plan_cost).  Returns (cost, (base, Din, W, const, bounds, groups))
+    for the cheapest candidate, or None when no base covers in_bound."""
+    Dout = _ndigits(q)
+    best = None
+    for base in (256, 128):
+        Din = _plane_count(in_bound, base)
+        if Din is None:
+            continue
+        W, const, bounds, groups = _block_digit_tables(
+            M, q, bw, Din, Dout, in_bound >> 1, in_bound, downstream, base)
+        (sh, cs, ng), _ = _plan_cost(groups, bounds, q, downstream)
+        cost = (_COST_SHOUP * sh + _COST_CSUB * cs
+                + (_COST_PLANE + Dout) * Din, ng)
+        if best is None or cost < best[0]:
+            best = (cost, (base, Din, W, const, bounds, groups))
+    return best
 
 
 class MxuTables:
@@ -367,18 +496,22 @@ class MxuTables:
         self.fwd_sched, bnd = _lazy_fwd_schedule(q, self.Lr)
         # The forward digit split may use MORE input planes than the matrix
         # has digit classes: Df = smallest plane count covering the lazy
-        # wide-stage output bound.  One extra int8 plane + dot (hidden
-        # behind the VPU work) buys skipping the canonicalizing csub chain
-        # before the split — for q-i/q-iii this was previously "provably
-        # impossible" only under the Df == D assumption (PERF_NOTES).
-        # Hard cap Df <= 4 (_plane_count): _digit_planes' biased-byte
-        # extraction shifts an int32 by 8*(Df-1) bits and pre-adds a
-        # 0x..8080 bias — both break at 5 planes.  Beyond the cap the
-        # forward falls back to the canonical pre-split csub chain.
-        Df = _plane_count(bnd)
-        self.fwd_lazy = Df is not None
-        self.Df = Df if self.fwd_lazy else self.D   # forward input planes
+        # wide-stage output bound at the searched base (base-256 caps at 4
+        # planes, base-128 at 5 — _covers' 28-bit shift limit).  One extra
+        # int8 plane + dot (hidden behind the VPU work) buys skipping the
+        # canonicalizing csub chain before the split; _search_split
+        # cost-compares the lazy candidates against the canonical
+        # chain-then-split fallback.
+        Mf = _fwd_matrix(tbl, self.Lr)
+        lazy = _search_split(Mf, q, bw, bnd, "any") if bnd > q else None
+        canon = _search_split(Mf, q, bw, q, "any")
+        # canonical pays the _fwd_rolls tail csub chain bnd -> q per block
+        ccost = (canon[0][0] + _COST_CSUB * _chain_csubs(bnd, q, q),
+                 canon[0][1])
+        self.fwd_lazy = lazy is not None and lazy[0] <= ccost
         self.fwd_bound = bnd if self.fwd_lazy else q
+        (self.fwd_base, self.Df, self.wf, self.constf, self.bounds_f,
+         self.groups_f) = (lazy if self.fwd_lazy else canon)[1]
         self.fwd_off = self.fwd_bound >> 1
         # Lazy pointwise -> inverse handoff: the Hadamard product is left
         # UNREDUCED (sloppy-Shoup fold < 4q plus a < 2q term) and the
@@ -392,17 +525,11 @@ class MxuTables:
         # cancels the savings (measured q-iii 15.52 -> 15.46 M/s) — those
         # keep the canonical pointwise.
         self.pw_bound = pointwise_bound(q)
-        self.Di = _plane_count(self.pw_bound)   # inverse input planes
         self.inv_off = self.pw_bound >> 1
-        dw_inv = _reduce_kind(q)
-        (self.wf, self.constf, self.bounds_f,
-         self.groups_f) = _block_digit_tables(
-            _fwd_matrix(tbl, self.Lr), q, bw, self.Df, self.D, self.fwd_off,
-            self.fwd_bound, "any")           # forward feeds the pointwise
-        (self.wi, self.consti, self.bounds_i,
-         self.groups_i) = _block_digit_tables(
-            _inv_matrix(tbl, L - self.Lr), q, bw, self.Di, self.D,
-            self.inv_off, self.pw_bound, dw_inv)
+        ipick = _search_split(_inv_matrix(tbl, L - self.Lr), q, bw,
+                              self.pw_bound, _reduce_kind(q))
+        (self.inv_base, self.Di, self.wi, self.consti, self.bounds_i,
+         self.groups_i) = ipick[1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -414,23 +541,27 @@ def get_mxu_tables(name: str, bw: int | None = None) -> MxuTables:
 # Kernel building blocks (trace-time python over static D / nb / Lr).
 # ----------------------------------------------------------------------
 
-def _digit_planes(v, off: int, D: int):
-    """uint32 in [0, bound) -> D balanced-digit int8 planes of v - off
-    (off = bound//2; requires |v - off| + 0x..80 < 2^31, guaranteed by the
-    table builder's coverage check).
+def _digit_planes(v, off: int, D: int, base: int = 256):
+    """uint32 in [0, bound) -> D balanced-digit int8 planes of v - off at
+    the given power-of-two digit base (off = bound//2; the centered+biased
+    value must fit int31 and the top shift stay <= 28 bits — _covers, the
+    table builder's coverage check, guarantees both).
 
-    Biased-byte extraction: adding 0x..8080 pre-propagates every borrow at
-    once, so digit i is just byte i minus 128 — no sequential carry chain.
-    The shift is applied in wrapping uint32 then bitcast to int32, so lazy
-    inputs beyond 2^31 are handled exactly."""
-    bias = sum(128 << (8 * i) for i in range(D - 1))
+    Biased-digit extraction: adding the base/2-per-plane bias
+    (_split_bias) pre-propagates every borrow at once, so digit i is just
+    field i minus base/2 — no sequential carry chain; the decomposition
+    a = sum_i ((a >> lb*i) & (base-1)) * base^i + (a >> lb*(D-1))*base^(D-1)
+    is exact for any int32 a by two's complement, so lazy inputs beyond
+    2^31 (added in wrapping uint32, then bitcast) are handled exactly."""
+    lb = base.bit_length() - 1
+    bias = _split_bias(D, base)
     a = lax.bitcast_convert_type(v + np.uint32((bias - off) % (1 << 32)),
                                  jnp.int32)
     planes = []
     for i in range(D - 1):
-        planes.append((((a >> np.int32(8 * i)) & np.int32(255))
-                       - np.int32(128)).astype(jnp.int8))
-    planes.append((a >> np.int32(8 * (D - 1))).astype(jnp.int8))
+        planes.append((((a >> np.int32(lb * i)) & np.int32(base - 1))
+                       - np.int32(base // 2)).astype(jnp.int8))
+    planes.append((a >> np.int32(lb * (D - 1))).astype(jnp.int8))
     return planes
 
 
@@ -442,11 +573,12 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
 
     Digit classes are Horner-packed per the precomputed `groups` plan:
     g = c_{j0} + 256 c_{j0+1} + ... (provably int32-exact), viewed as
-    uint32 with a +2^31 bias (exact by two's complement), so the group
-    starting at class 0 costs NO multiply and every other group exactly one
-    Shoup multiply by 2^{8 j0} mod q.  Worst-case magnitudes are tracked as
-    python ints; conditional subtracts are inserted only where the uint32
-    sum could otherwise overflow."""
+    uint32 with the group's exact Horner-bound bias (exact by two's
+    complement), so the group starting at class 0 costs NO multiply and
+    every other group exactly one Shoup multiply by 2^{8 j0} mod q.
+    Worst-case magnitudes are tracked as python ints; conditional
+    subtracts are inserted only where the uint32 sum could otherwise
+    overflow."""
     return _recombine_classes(planes_b,
                               [w_ref[b, i] for i in range(din)],
                               const_ref[b], mt.bw, mt.q,
@@ -454,12 +586,12 @@ def _one_block_matmul(planes_b, b, w_ref, const_ref, mt: MxuTables,
 
 
 def _block_matmul(blocks, w_ref, const_ref, mt, groups, bounds,
-                  off: int, din: int):
+                  off: int, din: int, base: int):
     """Stage matrix over the block-list representation: per 128-lane block,
-    digit split (centered at `off`, `din` planes) -> int8 dot -> packed
-    recombination.  No concatenation — data stays as nb separate (TB, bw)
-    tiles.  Returns (blocks, shared lazy output bound)."""
-    outs = [_one_block_matmul(_digit_planes(blk, off, din), b,
+    digit split (centered at `off`, `din` base-`base` planes) -> int8 dot
+    -> packed recombination.  No concatenation — data stays as nb separate
+    (TB, bw) tiles.  Returns (blocks, shared lazy output bound)."""
+    outs = [_one_block_matmul(_digit_planes(blk, off, din, base), b,
                               w_ref, const_ref, mt, groups, bounds, din)
             for b, blk in enumerate(blocks)]
     return [v for v, _ in outs], outs[0][1]
@@ -478,35 +610,28 @@ def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
         p = lax.dot_general(p_i, w_i, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
         acc = p if acc is None else acc + p
-    # terms: (value uint32, exact worst-case bound as python int)
-    terms = [(const_row, q - 1)]
+    # term values, biased by each group's EXACT Horner bound gb (u = g + gb
+    # in [0, 2*gb], exact by two's-complement wraparound) — _const_row
+    # subtracts the same biases mod q
+    vals = [const_row]
     for j0, ln in groups:
         g = acc[:, (j0 + ln - 1) * bw:(j0 + ln) * bw]
         for m in range(ln - 2, -1, -1):
             g = acc[:, (j0 + m) * bw:(j0 + m + 1) * bw] + (g << 8)
-        u = g.astype(jnp.uint32) + np.uint32(1 << 31)   # = g + 2^31
+        u = g.astype(jnp.uint32) + np.uint32(_group_bound(bounds, j0, ln))
         if j0 == 0:
-            terms.append((u, (1 << 31) + _group_bound(bounds, j0, ln)))
+            vals.append(u)
         else:
             w = pow(2, 8 * j0, q)
             s = shoup_mulmod_sloppy(u, np.uint32(w),
                                     np.uint32((w << 32) // q), q)
-            terms.append((_csub(s, 2 * q), 2 * q - 1))
-    # sum with overflow-aware laziness
-    total = sum(bd for _, bd in terms)
-    if total >= 1 << 32:
-        red = []
-        for v, bd in terms:
-            if bd >= 2 * q:
-                v = _csub(shoup_mulmod_sloppy(
-                    v, jnp.uint32(1), jnp.uint32(one_shoup), q),
-                    2 * q)
-                bd = 2 * q - 1
-            red.append((_csub(v, q), q - 1))
-        terms = red
-        assert sum(bd for _, bd in terms) < 1 << 32, "recombine overflow"
-    value = functools.reduce(lambda a, v: a + v[0], terms[1:], terms[0][0])
-    return value, sum(bd for _, bd in terms)
+            vals.append(_csub(s, 2 * q))
+    # sum with overflow-aware laziness: the SAME _initial_terms/_pack_terms
+    # code the planner and _recombine_bound run statically
+    vals, maxima, _, _ = _pack_terms(vals, _initial_terms(groups, bounds, q),
+                                     q, one_shoup)
+    return functools.reduce(lambda a, v: a + v, vals[1:], vals[0]), \
+        sum(maxima)
 
 
 def _split_blocks(ref, mt: MxuTables):
@@ -629,7 +754,8 @@ def _fwd_mxu(blocks, refs, mt: MxuTables):
     if mt.Lr:
         blocks = _fwd_rolls(blocks, mt)
     blocks, _ = _block_matmul(blocks, refs["wf"], refs["constf"], mt,
-                              mt.groups_f, mt.bounds_f, mt.fwd_off, mt.Df)
+                              mt.groups_f, mt.bounds_f, mt.fwd_off, mt.Df,
+                              mt.fwd_base)
     return blocks
 
 
@@ -689,7 +815,7 @@ def _inv_mxu(blocks_in, refs, mt: MxuTables):
     inputs qualify, the standalone intt path); canonical blocks out."""
     blocks, rb = _block_matmul(blocks_in, refs["wi"], refs["consti"],
                                mt, mt.groups_i, mt.bounds_i, mt.inv_off,
-                               mt.Di)
+                               mt.Di, mt.inv_base)
     # reduce lazy recombination sums into [0, 2q) — by the cheapest route
     # the emission's own output bound allows
     blocks = [reduce_bounded_2q(v, rb, mt.q, mt.tbl.ps.one_shoup)

@@ -163,7 +163,7 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
     bounds = _digit_bounds(mw, bw, _input_digit_maxima(din, off, in_bound))
     groups = _plan_groups(bounds, q, downstream)
     for idx in indices:
-        const[idx + (0,)] = _const_row(colsums[idx], off, groups, q)
+        const[idx + (0,)] = _const_row(colsums[idx], off, groups, bounds, q)
     raw_bound = _recombine_bound(groups, bounds, q)
     needs_reduce = reduce_uncoverable and _plane_count(raw_bound) is None
     store_bound = 2 * q if needs_reduce else raw_bound

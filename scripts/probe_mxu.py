@@ -11,6 +11,7 @@
                    is pure exposed compute (overlap diagnostic)
 
 Usage: python scripts/probe_mxu.py [--batch 16384] [--tile 256] [--which all]
+       [--param-set qtesla-iii-speed]
 """
 
 import argparse
@@ -28,7 +29,7 @@ sys.path.insert(0, ".")
 from qtesla_tpu.ops import ntt_mxu as M                      # noqa: E402
 from qtesla_tpu.utils.timing import measure                  # noqa: E402
 
-NAME = "qtesla-iii-speed"
+NAME = "qtesla-iii-speed"       # default; override with --param-set
 
 
 def _specs(n, tb, k):
@@ -99,7 +100,7 @@ def compute_only_fn(name, tb, B, which="compute_only"):
             blocks = M._fwd_rolls(blocks, mt)
             outs = []
             for blk in blocks:
-                planes = M._digit_planes(blk, mt.fwd_off, mt.Df)
+                planes = M._digit_planes(blk, mt.fwd_off, mt.Df, mt.fwd_base)
                 acc = planes[0].astype(jnp2.uint32)
                 for p in planes[1:]:
                     acc = acc + p.astype(jnp2.uint32)
@@ -111,7 +112,7 @@ def compute_only_fn(name, tb, B, which="compute_only"):
             blocks = M._fwd_rolls(blocks, mt)
             outs = []
             for b, blk in enumerate(blocks):
-                planes = M._digit_planes(blk, mt.fwd_off, mt.Df)
+                planes = M._digit_planes(blk, mt.fwd_off, mt.Df, mt.fwd_base)
                 acc = None
                 for i in range(mt.Df):
                     p = lax2.dot_general(
@@ -180,16 +181,19 @@ def variant_fn(name, tb, which):
 
 
 def main():
+    global NAME
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--which", default="all")
+    ap.add_argument("--param-set", default=NAME)
     args = ap.parse_args()
-    n = 1024
+    NAME = args.param_set
+    mt = M.get_mxu_tables(NAME)
+    n, q = mt.n, mt.q
     B = args.batch
     rng = np.random.default_rng(0)
-    q = 8404993
     x = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint32))
     y = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint32))
 
