@@ -103,7 +103,10 @@ def main() -> int:
                                                     "qtesla-p-iii")]
     # the paper's title algorithm (reference NTT.cu:147-277) — recorded so
     # the Nussbaumer path has a committed TPU number, not just correctness
-    extras.append((PARAM_SET, "nussbaumer", 4096))
+    # B capped at 512: the tensorized Z_{2^32-1} pipeline's intermediates
+    # crash the TPU worker at B >= 2048 (measured round 3; throughput is
+    # batch-independent anyway — ~5.5k/s at B in {512, 1024})
+    extras.append((PARAM_SET, "nussbaumer", 512))
     for pset, candidate, batch_d in extras:
         try:
             r = benchmark_polymul(pset, candidate, batch=batch_d,

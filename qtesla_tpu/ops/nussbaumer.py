@@ -251,6 +251,37 @@ def ring_exact_coeff_bound(n: int) -> int:
     return math.isqrt((RING_MOD // 2) // n)
 
 
+# Batch chunk for the jitted pipelines: the tensorized recursion's
+# intermediates ((..., 2m, r) planes through log2(m) butterfly levels plus
+# the m-term base-product accumulation) grow ~linearly with batch, and a
+# single-shot batch >= 2048 at n=1024 crashes the TPU worker (measured
+# round 3).  Shapes are static under jit, so large batches run as a
+# sequential lax.map over fixed-size chunks — same results, bounded
+# footprint, any batch size.
+_BATCH_CHUNK = 512
+
+
+def _chunked_pairs(body, x, y, chunk: int = _BATCH_CHUNK):
+    """Apply body((C, n), (C, n)) -> (C, n) over an arbitrary-leading-shape
+    pair, sequentially in chunks of `chunk` rows."""
+    shape = x.shape
+    n = shape[-1]
+    xf = x.reshape(-1, n)
+    yf = y.reshape(-1, n)
+    B = xf.shape[0]
+    if B <= chunk:
+        return body(xf, yf).reshape(shape)
+    k = B // chunk
+    bulk = jax.lax.map(
+        lambda ab: body(ab[0], ab[1]),
+        (xf[:k * chunk].reshape(k, chunk, n),
+         yf[:k * chunk].reshape(k, chunk, n)))
+    parts = [bulk.reshape(k * chunk, n)]
+    if B % chunk:
+        parts.append(body(xf[k * chunk:], yf[k * chunk:]))
+    return jnp.concatenate(parts).reshape(shape)
+
+
 @functools.lru_cache(maxsize=None)
 def polymul_nussbaumer_fn(name: str, max_coeff: int | None = None):
     """Jitted negacyclic polymul mod q via the Nussbaumer Z_{2^32-1} ring
@@ -278,14 +309,14 @@ def polymul_nussbaumer_fn(name: str, max_coeff: int | None = None):
     m_mod_q = RING_MOD % q
     half = jnp.uint32(RING_MOD // 2)
 
-    def fn(x, y):
-        z = nussbaumer_negacyclic_ring(u32(x), u32(y))
+    def one(x, y):
+        z = nussbaumer_negacyclic_ring(x, y)
         pos = reduce_u32(z, q, ps.one_shoup)
         neg = jnp.where(pos >= u32(m_mod_q), pos - u32(m_mod_q),
                         pos + u32(q - m_mod_q))
         return jnp.where(z > half, neg, pos)
 
-    return jax.jit(fn)
+    return jax.jit(lambda x, y: _chunked_pairs(one, u32(x), u32(y)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -295,5 +326,6 @@ def polymul_nussbaumer_q_fn(name: str):
     reference's Z_{2^32-1} path and polymul_nussbaumer_fn)."""
     from ..params import get_params
     ps = get_params(name)
-    return jax.jit(lambda x, y: nussbaumer_negacyclic_modq(
-        u32(x), u32(y), ps))
+    return jax.jit(lambda x, y: _chunked_pairs(
+        lambda a, b: nussbaumer_negacyclic_modq(a, b, ps),
+        u32(x), u32(y)))

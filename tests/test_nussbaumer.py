@@ -113,3 +113,23 @@ def test_nussbaumer_modq_full_range(rng, name):
     for b in range(2):
         want = negacyclic_schoolbook(x[b], y[b], ps)
         np.testing.assert_array_equal(z[b].astype(np.uint64), want)
+
+
+def test_nussbaumer_batch_chunking(rng):
+    """Large batches run as a sequential lax.map over fixed chunks (the
+    single-shot pipeline's intermediates crash the TPU worker at
+    B >= 2048, measured round 3) — the chunked path (bulk map + remainder)
+    must be bit-identical to the single-shot path."""
+    from qtesla_tpu.ops.nussbaumer import (_chunked_pairs,
+                                           nussbaumer_negacyclic_modq)
+    ps = get_params("smallprime")
+    B = 7                          # chunk=2: 3 mapped chunks + remainder 1
+    x = jnp.asarray(rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32))
+
+    def body(a, b):
+        return nussbaumer_negacyclic_modq(a, b, ps)
+
+    whole = np.asarray(body(x, y))
+    chunked = np.asarray(_chunked_pairs(body, x, y, chunk=2))
+    np.testing.assert_array_equal(chunked, whole)
