@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_global_mesh", "global_batch",
-           "local_shard"]
+           "local_shard", "barrier", "live_processes"]
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -101,3 +101,41 @@ def local_shard(z) -> np.ndarray:
                     f"(sharding {z.sharding})")
         shards.setdefault(s.index[0].start or 0, np.asarray(s.data))
     return np.concatenate([shards[k] for k in sorted(shards)], axis=0)
+
+
+def barrier(name: str, timeout_s: float = 60.0) -> None:
+    """Fail-fast cross-process rendezvous (explicit failure detection).
+
+    Every process must reach the barrier within `timeout_s`, or the
+    coordination service raises a timely error on every survivor — use it
+    around collective sections so a dead or wedged peer surfaces as an
+    exception instead of a cross-host all_to_all hanging forever.  The
+    reference has no failure story at all (single-shot binary, SURVEY.md
+    §5); this is the multi-host equivalent of its kernel-boundary sync.
+
+    Recovery model (elastic, stateless): ALL device state in this
+    framework is derived — parameter constants and twiddle/digit tables
+    regenerate from (n, q) at trace time and there is nothing to
+    checkpoint — so recovery from a detected failure is: tear down
+    (jax.distributed.shutdown() or process exit), let the orchestrator
+    re-launch on the surviving host set, re-run init_distributed with the
+    new (num_processes, process_id), and recompute the in-flight batch.
+    `barrier` is the detection half; the orchestrator owns the restart."""
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is None:      # single process: nothing to rendezvous with
+        return
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+def live_processes() -> list[int]:
+    """Process ids the coordination service currently considers alive
+    (heartbeat-based liveness, the service's failure detector).  Returns
+    [0] when running single-process.  Survivors can use this after a
+    barrier timeout to learn WHICH peer died before tearing down."""
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is None:
+        return [0]
+    live = client.get_live_nodes(list(range(jax.process_count())))
+    return sorted(live)

@@ -5,13 +5,20 @@ Each process owns 2 virtual CPU devices; together they form a 2-host,
 `jax.distributed` + hosts-major-mesh code path a real multi-host TPU pod
 uses, minus the hardware (SURVEY.md §5 distributed row, BASELINE.md:28).
 
-Usage: python tests/_dist_worker.py <process_id> <num_processes> <port>
+Usage: python tests/_dist_worker.py <process_id> <num_processes> <port> [mode]
+
+Modes: "ok" (default) runs the full DP/SP pipeline checks; the fault-
+injection pair "die" (exit silently right after joining the cluster —
+a simulated host death) and "detect" (survivor: expect the fail-fast
+barrier to raise within its timeout instead of hanging) exercises the
+failure-detection story (SURVEY.md §5 failure-detection row).
 """
 
 import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "ok"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -35,6 +42,32 @@ from qtesla_tpu.parallel.sharded import (  # noqa: E402
 
 init_distributed(f"localhost:{port}", nproc, pid)
 assert jax.process_count() == nproc, jax.process_count()
+
+if mode == "die":
+    # simulated host death: leave the cluster without a word, BEFORE any
+    # collective work (the survivor's barrier must detect it)
+    print(f"DIST DYING pid={pid}", flush=True)
+    os._exit(0)
+if mode == "detect":
+    import time
+    from qtesla_tpu.parallel.distributed import barrier, live_processes
+    t0 = time.monotonic()
+    try:
+        barrier("failure-probe", timeout_s=20.0)
+    except Exception as e:
+        dt = time.monotonic() - t0
+        assert dt < 60.0, f"detection took {dt:.0f}s (not fail-fast)"
+        # the liveness snapshot names the survivor set for the restart
+        alive = live_processes()
+        print(f"FAULT DETECTED pid={pid} after {dt:.1f}s alive={alive} "
+              f"({type(e).__name__})", flush=True)
+        # leave WITHOUT the atexit jax.distributed.shutdown(): its shutdown
+        # barrier would wait on the dead peer until the heartbeat watchdog
+        # force-kills us.  The recovery model is orchestrator restart, and
+        # a restarting worker exits exactly like this.
+        os._exit(0)
+    raise SystemExit("barrier did not detect the dead peer")
+
 assert len(jax.devices()) == 2 * nproc, jax.devices()
 
 name = "smallprime"

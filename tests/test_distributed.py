@@ -45,6 +45,37 @@ def test_two_process_cpu_cluster():
         assert f"DIST OK pid={i}" in out, f"worker {i} output:\n{out}"
 
 
+def test_worker_death_detected_fail_fast():
+    """Fault injection (SURVEY.md §5 failure-detection row): one worker
+    joins the cluster then dies silently; the survivor's fail-fast
+    `barrier` must raise within its 20s timeout — a timely error naming a
+    detection, not a hung collective.  Recovery is stateless restart
+    (see parallel.distributed.barrier docstring): nothing to checkpoint,
+    so the test only asserts detection."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    modes = ["detect", "die"]
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), "2", str(port), modes[i]],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=_REPO, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[1].returncode == 0, f"dying worker:\n{outs[1]}"
+    assert "DIST DYING pid=1" in outs[1]
+    assert procs[0].returncode == 0, f"survivor:\n{outs[0]}"
+    assert "FAULT DETECTED pid=0" in outs[0], outs[0]
+
+
 def test_local_shard_rejects_non_batch_sharding():
     """local_shard must raise on arrays sharded along a non-leading axis
     instead of silently returning a partial slice (code-review finding)."""
