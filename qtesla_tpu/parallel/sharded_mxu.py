@@ -447,6 +447,15 @@ def _make_seg3(plans, tile_b, interpret):
 # Sharded assembly.
 # ----------------------------------------------------------------------
 
+def _default_tile(nloc: int) -> int:
+    """Batch tile for the segment kernels, scaled so tile*nloc stays
+    ~256K coefficients: small local shards (large model k) want LARGER
+    tiles — measured on v5e at B=16k (round 3): k=8/nloc=128 runs 9%
+    faster at tile 1024 than 256 (0.234 vs 0.258 ms), k=4 7% faster at
+    1024, k=2 4% faster at 512; 2048 gains nothing over 1024."""
+    return min(1024, max(256, (1 << 18) // nloc))
+
+
 def _build(name: str, mesh: Mesh, n1: int | None, tile_b: int | None,
            interpret: bool, chunks: int = 1):
     tbl = get_tables(name)
@@ -456,7 +465,7 @@ def _build(name: str, mesh: Mesh, n1: int | None, tile_b: int | None,
     k = mesh.shape["model"]
     plans = fourstep_mxu_plans(name, n1, k)
     n2, n2k, n1k, nloc = plans.n2, plans.n2k, plans.n1k, plans.nloc
-    tb = tile_b or 256
+    tb = tile_b or _default_tile(nloc)
     seg1 = _make_seg1(plans, tb, interpret)
     seg2 = _make_seg2(plans, tb, interpret)
     seg2f = _make_seg2_fixed(plans, tb, interpret)
@@ -595,7 +604,7 @@ def local_pipeline_fn(name: str, k: int, n1: int | None = None,
     if n1 is None:
         n1 = 1 << (tbl.logn // 2)
     plans = fourstep_mxu_plans(name, n1, k)
-    tb = tile_b or 256
+    tb = tile_b or _default_tile(plans.nloc)
     seg1 = _make_seg1(plans, tb, False)
     seg2 = _make_seg2(plans, tb, False)
     seg3 = _make_seg3(plans, tb, False)
