@@ -138,15 +138,30 @@ def cmd_speed(args) -> int:
             prep, mul = polymul_fixed_fn(ps.name, algo)
             A = prep(jnp.asarray(
                 rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
-            x = jnp.asarray(rng.integers(0, ps.q, (args.batch, ps.n),
-                                         dtype=np.uint32))
-            r = measure(lambda _, c, mul=mul, A=A: mul(c, A), x, x,
-                        warmup=2, iters=args.iters,
-                        items_per_iter=args.batch, chain=True,
-                        trace_dir=args.trace_dir,
-                        name=f"polymul_fixed[{ps.name},{algo},"
-                             f"B={args.batch}]")
-            out.append({"algo": f"fixed/{algo}", "batch": args.batch,
+            xh = rng.integers(0, ps.q, (args.batch, ps.n), dtype=np.uint32)
+            if getattr(args, "streamed", False):
+                # fixed + streamed: the qTESLA-verification serving bracket —
+                # the public-key spectrum A stays device-resident while each
+                # iteration stages a fresh operand batch from host RAM and
+                # fetches the product back (reference's transfer-inclusive
+                # bracket, NTT.cu:2036-2079, for the fixed-operand pipeline)
+                from .utils.timing import measure_streamed
+                r = measure_streamed(lambda c, mul=mul, A=A: mul(c, A), xh,
+                                     warmup=2, iters=args.iters,
+                                     items_per_iter=args.batch,
+                                     name=f"polymul_fixed_streamed[{ps.name},"
+                                          f"{algo},B={args.batch}]")
+                tag = f"fixed_streamed/{algo}"
+            else:
+                x = jnp.asarray(xh)
+                r = measure(lambda _, c, mul=mul, A=A: mul(c, A), x, x,
+                            warmup=2, iters=args.iters,
+                            items_per_iter=args.batch, chain=True,
+                            trace_dir=args.trace_dir,
+                            name=f"polymul_fixed[{ps.name},{algo},"
+                                 f"B={args.batch}]")
+                tag = f"fixed/{algo}"
+            out.append({"algo": tag, "batch": args.batch,
                         "min_ms_per_iter": r.min_s * 1e3,
                         "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
                         "polymuls_per_s": r.throughput_best})

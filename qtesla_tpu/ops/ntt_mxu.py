@@ -190,7 +190,7 @@ def _plan_cost(groups, bounds, q: int, downstream: str):
     _, terms, s2, c2 = _pack_terms([None] * len(terms), terms, q, 0)
     sh += s2
     cs += c2
-    bound = sum(terms)
+    bound = sum(terms) + 1        # exclusive, matching _recombine_bound
     if downstream != "any" and bound > 2 * q:
         if bound <= 16 * q:                  # reduce_bounded_2q csub chain
             b = bound
@@ -309,10 +309,14 @@ def _recombine_bound(groups, bounds, q: int) -> int:
     """STATIC mirror of _recombine_classes' output-bound arithmetic (the
     shared _initial_terms + _pack_terms path), so plan builders can size a
     consumer's digit split before tracing; the kernels assert the traced
-    bound equals this."""
+    bound equals this.  EXCLUSIVE: the term maxima are inclusive, so the
+    output is their sum + 1 — every consumer (digit-split coverage,
+    reduce_bounded_2q, store-bound handoffs) takes exclusive bounds, and
+    an inclusive sum passed as exclusive would size coverage one short of
+    the attainable maximum (code-review round 3)."""
     terms = _initial_terms(groups, bounds, q)
     _, terms, _, _ = _pack_terms([None] * len(terms), terms, q, 0)
-    return sum(terms)
+    return sum(terms) + 1
 
 
 def _matrix_digit_block(K, q: int, Din: int, Dout: int, mw: np.ndarray,
@@ -432,16 +436,11 @@ _COST_SHOUP, _COST_CSUB, _COST_PLANE = 4, 2, 3
 
 
 def _chain_csubs(bnd: int, limit: int, q: int) -> int:
-    """Static csub count of the _csub_to chain bnd -> limit (same halving
-    schedule), for costing a canonical pre-split fallback."""
-    cs = 0
-    while bnd > limit:
-        t = max(((bnd - 1) // q).bit_length() - 1,
-                (limit // q).bit_length() - 1)
-        c = (1 << t) * q
-        cs += 1
-        bnd = max(c, bnd - c)
-    return cs
+    """Static csub count of the _csub_to chain bnd -> limit, computed by
+    running _csub_to itself in static mode (v=None) — the SAME code plans
+    and emits, so the cost model can never drift from the chain the
+    kernel would generate."""
+    return _csub_to(None, bnd, limit, q)[2]
 
 
 def _search_split(M: np.ndarray, q: int, bw: int, in_bound: int,
@@ -517,8 +516,8 @@ class MxuTables:
         # UNREDUCED (sloppy-Shoup fold < 4q plus a < 2q term) and the
         # inverse digit split covers that bound directly — deleting the
         # pointwise's canonicalizing csubs (round-2 VERDICT item 2's
-        # suggested pattern).  6q-2 when a+b fits uint32 without
-        # compressing the sloppy term, else one csub first (4q-2).
+        # suggested pattern).  Exclusive bound 6q-1 when a+b fits uint32
+        # without compressing the sloppy term, else one csub first (4q-1).
         # Engaged ONLY when the lazy bound costs no extra digit plane:
         # for the D=4 p-sets the csubs are free to delete (measured
         # p-iii 5.1 -> 5.21 M/s), but for D=3 sets the 4th inverse plane
@@ -602,9 +601,9 @@ def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
     """int8 digit planes (TB, bw) -> int8 dots against the matching
     (bw, Dout*bw) table slices -> Horner-packed class recombination (see
     _one_block_matmul docstring).  Returns (lazy uint32 (TB, bw),
-    exact worst-case bound) — the bound comes from the SAME term tracking
-    that drives the emitted ops, so consumers (reduce_bounded_2q) can
-    never disagree with what was generated."""
+    exclusive worst-case bound) — the bound comes from the SAME term
+    tracking that drives the emitted ops, so consumers
+    (reduce_bounded_2q) can never disagree with what was generated."""
     acc = None
     for p_i, w_i in zip(planes, w_slices):
         p = lax.dot_general(p_i, w_i, (((1,), (0,)), ((), ())),
@@ -630,8 +629,10 @@ def _recombine_classes(planes, w_slices, const_row, bw: int, q: int,
     # code the planner and _recombine_bound run statically
     vals, maxima, _, _ = _pack_terms(vals, _initial_terms(groups, bounds, q),
                                      q, one_shoup)
+    # EXCLUSIVE output bound (maxima are inclusive); must equal
+    # _recombine_bound's static arithmetic
     return functools.reduce(lambda a, v: a + v, vals[1:], vals[0]), \
-        sum(maxima)
+        sum(maxima) + 1
 
 
 def _split_blocks(ref, mt: MxuTables):
@@ -648,14 +649,18 @@ def _store_blocks(ref, blocks, mt: MxuTables):
 def _csub_to(v, bnd: int, limit: int, q: int):
     """Conditional-subtract chain: value v < bnd -> v' < limit (limit a
     multiple of q >= q), congruent mod q.  Halves the bound per csub with
-    power-of-two multiples of q."""
+    power-of-two multiples of q.  v may be None (static cost mode — the
+    SAME loop plans and emits).  Returns (v', bnd', csub count)."""
+    cs = 0
     while bnd > limit:
         t = max(((bnd - 1) // q).bit_length() - 1,
                 (limit // q).bit_length() - 1)
         c = (1 << t) * q
-        v = _csub(v, c)
+        if v is not None:
+            v = _csub(v, c)
+        cs += 1
         bnd = max(c, bnd - c)
-    return v, bnd
+    return v, bnd, cs
 
 
 def _fwd_rolls(blocks, mt: MxuTables):
@@ -684,10 +689,10 @@ def _fwd_rolls(blocks, mt: MxuTables):
             grp = blocks[b * 2 * half:(b + 1) * 2 * half]
             los, his = [], []
             for k in range(half):
-                lo, _ = _csub_to(grp[k], bnd, lo_bnd, q)
+                lo, _, _ = _csub_to(grp[k], bnd, lo_bnd, q)
                 h = shoup_mulmod_sloppy(
                     grp[half + k], np.uint32(ws[b]), np.uint32(wsh[b]), q)
-                h, _ = _csub_to(h, 4 * q, h_bnd, q)
+                h, _, _ = _csub_to(h, 4 * q, h_bnd, q)
                 los.append(lo + h)
                 his.append(lo - h + np.uint32(h_bnd))
             out += los + his
@@ -727,8 +732,8 @@ def _inv_rolls(blocks, mt: MxuTables):
             grp = blocks[b * 2 * half:(b + 1) * 2 * half]
             los, his = [], []
             for m in range(half):
-                lo, _ = _csub_to(grp[m], bnd, in_bnd, q)
-                hi, _ = _csub_to(grp[half + m], bnd, in_bnd, q)
+                lo, _, _ = _csub_to(grp[m], bnd, in_bnd, q)
+                hi, _, _ = _csub_to(grp[half + m], bnd, in_bnd, q)
                 d = lo - hi + np.uint32(dq)
                 hd = shoup_mulmod_sloppy(d, np.uint32(ws[b]),
                                          np.uint32(wsh[b]), q)
@@ -778,11 +783,15 @@ def reduce_bounded_2q(v, bound: int, q: int, one_shoup: int):
 
 
 def pointwise_bound(q: int) -> int:
-    """The pointwise output-bound policy (see MxuTables): lazy (6q-2 or
-    4q-2) when the consumer's digit split covers it without an extra
-    plane, else q (canonical, csub chain) — shared by the flagship and
-    SP-segment kernels."""
-    pw_lazy = 6 * q - 2 if 6 * q - 2 < 1 << 32 else 4 * q - 2
+    """The pointwise output-bound policy (see MxuTables): lazy when the
+    consumer's digit split covers it without an extra plane, else q
+    (canonical, csub chain) — shared by the flagship and SP-segment
+    kernels.  EXCLUSIVE bound: the lazy sum's inclusive max is 6q-2
+    (sloppy fold <= 4q-1 plus reduced low term <= 2q-1), so the bound is
+    6q-1 (or 4q-1 after one compressing csub when 6q-2 overflows uint32)
+    — an inclusive max handed to the split planner as exclusive would
+    undersize coverage by one (code-review round 3)."""
+    pw_lazy = 6 * q - 1 if 6 * q - 2 < 1 << 32 else 4 * q - 1
     return pw_lazy if _plane_count(pw_lazy) == _ndigits(q) else q
 
 
@@ -791,13 +800,14 @@ def pointwise_lazy(xb, yb, q: int, ps, pw_bound: int):
     < pw_bound, congruent mod q) — the reference pointwise_mult
     (NTT.cu:1155-1160) with lazy folds: z = (hi*2^32 + lo) mod q =
     hi*r32 + lo (mod q).  The sloppy-Shoup fold stays < 4q and the low
-    term < 2q; when their sum fits uint32 (pw_bound = 6q-2) NO csub runs
-    at all — the inverse matmul's digit split covers the bound directly,
-    deleting the three canonicalizing csubs the round-2 pointwise paid."""
+    term < 2q; when their sum fits uint32 (pw_bound = 6q-1, exclusive)
+    NO csub runs at all — the inverse matmul's digit split covers the
+    bound directly, deleting the three canonicalizing csubs the round-2
+    pointwise paid."""
     hi, lo = widemul32(xb, yb)
     a = shoup_mulmod_sloppy(hi, jnp.uint32(ps.r32),
                             jnp.uint32(ps.r32_shoup), q)   # < 4q
-    if pw_bound < 6 * q - 2:
+    if pw_bound < 6 * q - 1:
         a = _csub(a, 2 * q)                                # < 2q
     b = fast_reduce_2q(lo, q, ps.one_shoup)                # < 2q
     z = a + b

@@ -63,6 +63,22 @@ def test_speed_streamed_json(capsys):
     assert row["min_ms_per_iter"] > 0
 
 
+def test_speed_fixed_streamed_json(capsys):
+    """--fixed --streamed: the constant-operand spectrum stays resident
+    while each iteration stages a fresh operand batch (the serving-shape
+    transfer-inclusive bracket; code-review round 3 found the combination
+    silently ignored --streamed)."""
+    import json
+    assert cli.main(["speed", "--param-set", "smallprime", "--algo",
+                     "merged", "--batch", "64", "--iters", "2",
+                     "--fixed", "--streamed", "--json"]) == 0
+    out = capsys.readouterr().out
+    assert "polymul_fixed_streamed" in out
+    row = json.loads(out.strip().splitlines()[-1])[0]
+    assert row["algo"] == "fixed_streamed/merged"
+    assert row["min_ms_per_iter"] > 0
+
+
 def test_scaling_dp(capsys):
     import json
     assert cli.main(["scaling", "--param-set", "smallprime",
