@@ -149,27 +149,16 @@ def main() -> int:
         # SP trend (round-2 VERDICT item 4): per-chip local pipeline of the
         # sharded four-step vs the flagship — tax = k*t_local/t_flagship
         try:
-            import numpy as np
-            import jax.numpy as jnp
-            from qtesla_tpu.parallel.sharded_mxu import local_pipeline_fn
-            from qtesla_tpu.params import get_params
-            from qtesla_tpu.utils.timing import measure
-            ps = get_params(PARAM_SET)
+            from qtesla_tpu.utils.timing import benchmark_sp_local
             t_flag = BATCHES[0] / best[2].throughput_best \
                 if best[1] == BATCHES[0] else None
             if t_flag is None:
                 t_flag = BATCHES[0] / benchmark_polymul(
                     PARAM_SET, "mxu", batch=BATCHES[0],
                     iters=ITERS).throughput_best
-            rng = np.random.default_rng(0)
             for k in (2, 4, 8):
-                pipe, plans = local_pipeline_fn(PARAM_SET, k)
-                x = jnp.asarray(rng.integers(
-                    0, ps.q, (BATCHES[0], plans.nloc), dtype=np.uint32))
-                r = measure(pipe, x, x, warmup=2, iters=ITERS, chain=True,
-                            items_per_iter=BATCHES[0],
-                            name=f"sp_local[{PARAM_SET},k={k},"
-                                 f"B={BATCHES[0]}]")
+                r, _ = benchmark_sp_local(PARAM_SET, k, batch=BATCHES[0],
+                                          iters=ITERS)
                 tax = k * r.min_s / t_flag
                 norm = BATCHES[0] / (k * r.min_s)
                 print(f"# {r.line()}  SP-tax {tax:.2f}x  per-chip-norm "

@@ -109,12 +109,25 @@ def cmd_correctness(args) -> int:
     return 1 if failures else 0
 
 
+def _speed_row(tag: str, r, batch: int) -> dict:
+    """One JSON result row of `cli speed` — single definition so the key
+    schema cannot drift between the default/fixed/streamed branches."""
+    return {"algo": tag, "batch": batch,
+            "min_ms_per_iter": r.min_s * 1e3,
+            "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
+            "polymuls_per_s": r.throughput_best}
+
+
 def cmd_speed(args) -> int:
     """Steady-state throughput (reference -speedcpu/-speedgpu groups)."""
     import jax
     from .utils.timing import benchmark_polymul
     print(f"backend: {jax.default_backend()}")
     print(_parameter_banner(args.param_set))
+    if getattr(args, "streamed", False) and args.trace_dir:
+        print("  NOTE: --trace-dir is ignored in --streamed mode (the "
+              "transfer-inclusive loop is host-driven; profile the "
+              "device-resident path instead)")
     if getattr(args, "fixed", False):
         import jax.numpy as jnp
         from .models import polymul_fixed_fn
@@ -161,10 +174,7 @@ def cmd_speed(args) -> int:
                             name=f"polymul_fixed[{ps.name},{algo},"
                                  f"B={args.batch}]")
                 tag = f"fixed/{algo}"
-            out.append({"algo": tag, "batch": args.batch,
-                        "min_ms_per_iter": r.min_s * 1e3,
-                        "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
-                        "polymuls_per_s": r.throughput_best})
+            out.append(_speed_row(tag, r, args.batch))
             print("  " + r.line())
         if args.json:
             print(json.dumps(out))
@@ -176,10 +186,7 @@ def cmd_speed(args) -> int:
             r = benchmark_polymul_streamed(args.param_set, algo,
                                            batch=args.batch,
                                            iters=args.iters, seed=args.seed)
-            out.append({"algo": f"streamed/{algo}", "batch": args.batch,
-                        "min_ms_per_iter": r.min_s * 1e3,
-                        "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
-                        "polymuls_per_s": r.throughput_best})
+            out.append(_speed_row(f"streamed/{algo}", r, args.batch))
             print("  " + r.line())
         if args.json:
             print(json.dumps(out))
@@ -188,10 +195,7 @@ def cmd_speed(args) -> int:
         r = benchmark_polymul(args.param_set, algo, batch=args.batch,
                               iters=args.iters, seed=args.seed,
                               trace_dir=args.trace_dir)
-        out.append({"algo": algo, "batch": args.batch,
-                    "min_ms_per_iter": r.min_s * 1e3,
-                    "median_ms_per_iter": (r.median_s or r.mean_s) * 1e3,
-                    "polymuls_per_s": r.throughput_best})
+        out.append(_speed_row(algo, r, args.batch))
         print("  " + r.line())
     if args.json:
         print(json.dumps(out))

@@ -193,10 +193,7 @@ def _plan_cost(groups, bounds, q: int, downstream: str):
     bound = sum(terms) + 1        # exclusive, matching _recombine_bound
     if downstream != "any" and bound > 2 * q:
         if bound <= 16 * q:                  # reduce_bounded_2q csub chain
-            b = bound
-            while b > 2 * q:
-                cs += 1
-                b = max(2 * q, (b + 1) // 2)
+            cs += _chain_csubs(bound, 2 * q, q)
         elif downstream == "reduce_shoup":
             sh += 1
             cs += 1
@@ -238,7 +235,23 @@ def _plan_groups(bounds: list[int], q: int,
                 for rest in compositions(j + ln):
                     yield [(j, ln)] + rest
 
-    return min(compositions(0),
+    # Feasibility: _pack_terms can shrink each term to at most q-1 (never
+    # below its initial value), so a composition fits uint32 iff the sum
+    # of min(term, q-1) over its initial terms does.  Infeasible candidates
+    # must be PRUNED, not costed — _pack_terms (shared with emission)
+    # asserts on them, and for q in [~1.07e9, 2^30) the always-enumerated
+    # all-singleton composition is infeasible while 3-group plans still
+    # fit (code-review round 3).
+    def feasible(g):
+        return sum(min(t, q - 1)
+                   for t in _initial_terms(g, bounds, q)) < 1 << 32
+
+    cands = [g for g in compositions(0) if feasible(g)]
+    if not cands:
+        raise ValueError(
+            f"q={q}: recombination terms cannot fit uint32 for any digit "
+            f"grouping of bounds {bounds}")
+    return min(cands,
                key=lambda g: _plan_cost(g, bounds, q, downstream)[0])
 
 

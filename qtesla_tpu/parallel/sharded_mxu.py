@@ -65,10 +65,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as N
 from ..ops.ntt import _subtables
-from ..ops.ntt_mxu import (_const_row, _csub, _digit_bounds, _digit_planes,
-                           _fwd_matrix, _fwd_rolls, _input_digit_maxima,
-                           _inv_matrix, _inv_rolls, _lazy_fwd_schedule,
-                           _matrix_digit_block, _ndigits, _plan_groups,
+from ..ops.ntt_mxu import (_COST_CSUB, _COST_PLANE, _COST_SHOUP,
+                           _chain_csubs, _const_row, _csub, _digit_bounds,
+                           _digit_planes, _fwd_matrix, _fwd_rolls,
+                           _input_digit_maxima, _inv_matrix, _inv_rolls,
+                           _lazy_fwd_schedule, _matrix_digit_block,
+                           _ndigits, _plan_cost, _plan_groups,
                            _plane_count, _recombine_bound,
                            _recombine_classes, _reduce_kind,
                            pointwise_bound, pointwise_lazy,
@@ -93,9 +95,19 @@ class _RollTables:
         self.Lr = Lr
         self.bw = Bk
         self.fwd_sched, bnd = _lazy_fwd_schedule(self.q, Lr)
-        Df = _plane_count(bnd)
-        self.fwd_lazy = Df is not None
-        self.fwd_bound = bnd if self.fwd_lazy else self.q
+        self.lazy_bound = bnd
+        self.lazy_coverable = _plane_count(bnd) is not None
+        # provisional: fourstep_mxu_plans cost-compares against the
+        # canonical chain-then-split fallback once K1 exists (the same
+        # comparison MxuTables runs) and overwrites these
+        self.set_fwd(self.lazy_coverable)
+
+    def set_fwd(self, lazy: bool) -> None:
+        """Pick the forward handoff _fwd_rolls emits: lazy (digit split
+        covers the wide-stage output bound directly) or canonical (csub
+        chain to < q first)."""
+        self.fwd_lazy = lazy and self.lazy_coverable
+        self.fwd_bound = self.lazy_bound if self.fwd_lazy else self.q
         self.fwd_off = self.fwd_bound >> 1
 
 
@@ -261,7 +273,26 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
                                       * Winv[int(k1map[p])][None, :]) % q
 
     pw_bound = pointwise_bound(q)
-    p1 = _digit_plan(K1, q, one_shoup, in_bound=rolls.fwd_bound)
+    # seg1 forward split: cost-compare lazy vs the canonical
+    # chain-then-split fallback with the flagship's model (MxuTables /
+    # _search_split) — the lazy extra input plane is not always cheaper
+    # than the _fwd_rolls tail csub chain it deletes (code-review round 3:
+    # the SP path used lazy-if-coverable unconditionally)
+    candidates = []
+    if rolls.lazy_coverable and rolls.lazy_bound > q:
+        candidates.append((True, _digit_plan(K1, q, one_shoup,
+                                             in_bound=rolls.lazy_bound), 0))
+    candidates.append((False, _digit_plan(K1, q, one_shoup, in_bound=q),
+                       _chain_csubs(rolls.lazy_bound, q, q)))
+
+    def p1_cost(p, extra_cs):
+        (sh, cs, ng), _ = _plan_cost(p.groups, p.bounds, q, "any")
+        return (_COST_SHOUP * sh + _COST_CSUB * (cs + extra_cs)
+                + (_COST_PLANE + _ndigits(q)) * p.din, ng)
+
+    lazy_pick, p1, _ = min(candidates,
+                           key=lambda c: p1_cost(c[1], c[2]))
+    rolls.set_fwd(lazy_pick)
     p2f = _digit_plan(K2f, q, one_shoup, in_bound=p1.store_bound,
                       reduce_uncoverable=False)   # feeds the pointwise
     p2i = _digit_plan(K2i, q, one_shoup, in_bound=pw_bound)

@@ -18,7 +18,7 @@ import jax
 
 __all__ = ["BenchResult", "measure", "measure_streamed",
            "benchmark_polymul", "benchmark_polymul_streamed",
-           "benchmark_reduction"]
+           "benchmark_reduction", "benchmark_sp_local"]
 
 
 @dataclasses.dataclass
@@ -223,6 +223,34 @@ def benchmark_polymul(param_set: str, algo: str = "merged",
                    items_per_iter=batch, chain=chain,
                    name=f"polymul[{param_set},{algo},B={batch}]",
                    trace_dir=trace_dir)
+
+
+def benchmark_sp_local(param_set: str, k: int, batch: int = 16384,
+                       iters: int = 400, warmup: int = 2, seed: int = 0,
+                       n1: int | None = None):
+    """Per-chip LOCAL segment pipeline of the sharded four-step NTT (the
+    compute between the all_to_alls) on its (batch, n/k) shard — the
+    single-chip surface behind the SP-tax metric
+    (tax = k * r.min_s / flagship_min_s; reference anchor: the four-step
+    kernel NTT.cu:767-802 this decomposes across chips).  Shared by
+    scripts/probe_sp.py and bench.py so both report the same measurement.
+    Returns (BenchResult, plans)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..parallel.sharded_mxu import local_pipeline_fn
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    pipe, plans = local_pipeline_fn(param_set, k, n1)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, ps.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    r = measure(pipe, x, y, warmup=warmup, iters=iters, chain=True,
+                items_per_iter=batch,
+                name=f"sp_local[{param_set},k={k},B={batch}]")
+    return r, plans
 
 
 def benchmark_reduction(param_set: str, op: str = "shoup",

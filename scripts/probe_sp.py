@@ -25,19 +25,13 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from qtesla_tpu.parallel import sharded_mxu as SM                # noqa: E402
-from qtesla_tpu.utils.timing import benchmark_polymul, measure   # noqa: E402
+from qtesla_tpu.utils.timing import (benchmark_polymul,          # noqa: E402
+                                     benchmark_sp_local, measure)
 
 
 def run_k(name, k, B, iters, ps, include_jnp):
     n1 = 1 << (ps.logn // 2)
-    local_pipeline, plans = SM.local_pipeline_fn(name, k, n1)
-    nloc = plans.nloc
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
-    y = jnp.asarray(rng.integers(0, ps.q, (B, nloc), dtype=np.uint32))
-    r = measure(local_pipeline, x, y, warmup=2, iters=iters,
-                chain=True, items_per_iter=B,
-                name=f"sp_local_mxu[{name},k={k}]")
+    r, _ = benchmark_sp_local(name, k, batch=B, iters=iters, n1=n1)
     print(f"{r.line()}  -> per-chip-normalized "
           f"{B / (k * r.min_s) / 1e6:.2f} M polymuls/s/chip", flush=True)
 

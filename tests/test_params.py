@@ -159,3 +159,31 @@ def test_dilithium_prime_and_n4096_beyond_reference(rng):
         np.testing.assert_array_equal(z, want, err_msg=f"{name} merged")
         z = np.asarray(polymul_mxu_fn(name, interpret=True)(x, y))
         np.testing.assert_array_equal(z, want, err_msg=f"{name} mxu")
+
+
+def test_register_near_2pow30_prime(rng):
+    """Regression (code-review round 3): for q in [~1.07e9, 2^30) the
+    recombination planner's always-enumerated all-singleton composition
+    cannot fit uint32 (5*(q-1) >= 2^32) and used to crash table
+    construction with an AssertionError while merely COSTING it, even
+    though 2-group plans fit.  q = 2^30 - 2^18 + 1 is prime with
+    q = 1 mod 2n for n <= 2^17; the planner must prune infeasible
+    candidates and the registered set must run bit-exact."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+    from qtesla_tpu.ops.ntt_mxu import get_mxu_tables, polymul_mxu_fn
+    from qtesla_tpu.params import register_param_set
+
+    ps = register_param_set("toy-30bit", n=64, q=1073479681)
+    mt = get_mxu_tables("toy-30bit")          # used to raise here
+    assert len(mt.groups_f) >= 2 and len(mt.groups_i) >= 2
+    x = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    x[0, :] = ps.q - 1
+    y[0, :] = ps.q - 1
+    want = np.stack([negacyclic_schoolbook(x[b], y[b], ps)
+                     for b in range(2)]).astype(np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    np.testing.assert_array_equal(z, want, err_msg="merged")
+    z = np.asarray(polymul_mxu_fn("toy-30bit", interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want, err_msg="mxu")

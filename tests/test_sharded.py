@@ -157,7 +157,12 @@ def test_fourstep_mxu_sharded_fixed(data16, rng):
 @needs8
 def test_fourstep_mxu_other_sets(rng):
     from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
+    # qtesla-iii-speed at model=8 is the config whose seg1 cost model picks
+    # the CANONICAL forward split (chain-then-3-plane beats the 4-plane
+    # lazy split there) — it must stay in the matrix so both sides of the
+    # lazy/canonical comparison are exercised
     for name, mesh in [("qtesla-i", make_mesh(data=2, model=4)),
+                       ("qtesla-iii-speed", make_mesh(data=1, model=8)),
                        ("qtesla-p-iii", make_mesh(data=1, model=8))]:
         ps = get_params(name)
         x = rng.integers(0, ps.q, (8, ps.n), dtype=np.uint32)
