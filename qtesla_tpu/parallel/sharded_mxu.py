@@ -148,32 +148,59 @@ def _k1_position_map(sub_tbl: NttTables) -> np.ndarray:
 
 
 def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
-                downstream: str = "any", reduce_uncoverable: bool = True):
+                downstream: str = "any", reduce_uncoverable: bool = True,
+                bases: tuple = (256,)):
     """Digit-matmul tables for a stack of exact input-major mod-q matrices
     sharing ONE recombination plan (groups/bounds worst-case over the
     stack, so a single compiled kernel serves every device/tile).
 
     `in_bound`: the operand's LAZY bound (q for canonical input); the
     digit split centers at in_bound//2 and uses the smallest covering
-    plane count (<= 4).  The plan's recombination output bound is computed
-    statically (raw_bound); when `reduce_uncoverable` and no 4-plane split
-    could cover it downstream, the kernel reduces to [0, 2q) before
-    storing (store_bound reflects whichever applies)."""
+    plane count at the searched base, candidates costed with the shared
+    static model (_plan_cost), cheapest taken.  `bases` defaults to
+    base-256 ONLY: extending the search to base-128 (the flagship's
+    _search_split candidate) was built and MEASURED WORSE here — the
+    model picked base-128 for qtesla-iii-speed's seg3 (one recombination
+    op cheaper on paper) but the kernel ran 7-19% slower at k=4/8
+    (0.353->0.379 / 0.224->0.266 ms, 2026-08-18): the model does not
+    price the costlier non-byte-aligned base-128 plane extraction, and
+    for the p-sets base-256 won the search anyway.  Pass bases=(256, 128)
+    to re-explore.  The plan's recombination output bound is computed
+    statically (raw_bound); when `reduce_uncoverable` and no split could
+    cover it downstream, the kernel reduces to [0, 2q) before storing
+    (store_bound reflects whichever applies)."""
     bw = Ms.shape[-1]
     lead = Ms.shape[:-2]
     Dout = _ndigits(q)
-    din = _plane_count(in_bound)
-    assert din is not None, f"lazy bound {in_bound} uncoverable by 4 planes"
     off = in_bound >> 1
-    W = np.zeros(lead + (din, bw, Dout * bw), dtype=np.int8)
-    const = np.zeros(lead + (1, bw), dtype=np.uint32)
-    colsums = np.zeros(lead + (bw,), dtype=object)
-    mw = np.zeros((din, Dout), dtype=np.int64)
     indices = list(np.ndindex(*lead)) if lead else [()]
-    for idx in indices:
-        W[idx], colsums[idx] = _matrix_digit_block(Ms[idx], q, din, Dout, mw)
-    bounds = _digit_bounds(mw, bw, _input_digit_maxima(din, off, in_bound))
-    groups = _plan_groups(bounds, q, downstream)
+    best = None
+    for base in bases:
+        din = _plane_count(in_bound, base)
+        if din is None:
+            continue
+        W = np.zeros(lead + (din, bw, Dout * bw), dtype=np.int8)
+        colsums = np.zeros(lead + (bw,), dtype=object)
+        mw = np.zeros((din, Dout), dtype=np.int64)
+        for idx in indices:
+            W[idx], colsums[idx] = _matrix_digit_block(Ms[idx], q, din,
+                                                       Dout, mw,
+                                                       in_base=base)
+        bounds = _digit_bounds(
+            mw, bw, _input_digit_maxima(din, off, in_bound, base))
+        try:
+            groups = _plan_groups(bounds, q, downstream)
+        except ValueError:
+            continue                 # no feasible grouping at this base
+        (sh, cs, ng), _ = _plan_cost(groups, bounds, q, downstream)
+        cost = (_COST_SHOUP * sh + _COST_CSUB * cs
+                + (_COST_PLANE + Dout) * din, ng)
+        if best is None or cost < best[0]:
+            best = (cost, base, din, W, colsums, bounds, groups)
+    if best is None:
+        raise ValueError(f"lazy bound {in_bound} uncoverable at any base")
+    _, base, din, W, colsums, bounds, groups = best
+    const = np.zeros(lead + (1, bw), dtype=np.uint32)
     for idx in indices:
         const[idx + (0,)] = _const_row(colsums[idx], off, groups, bounds, q)
     raw_bound = _recombine_bound(groups, bounds, q)
@@ -181,7 +208,7 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
     store_bound = 2 * q if needs_reduce else raw_bound
     return types.SimpleNamespace(
         W=W, const=const, groups=groups, bounds=bounds, bw=bw, din=din,
-        off=off, q=q, one_shoup=one_shoup, raw_bound=raw_bound,
+        off=off, base=base, q=q, one_shoup=one_shoup, raw_bound=raw_bound,
         needs_reduce=needs_reduce, store_bound=store_bound)
 
 
@@ -359,7 +386,7 @@ def _apply_lazy(x_block, w_slices, const_row, plan):
     """(TB, TW) lazy-in [0, plan-in_bound) -> (TB, TW) lazy uint32 through
     one plan matrix; the traced bound must equal the planned one (the
     static mirror consumers were sized with)."""
-    planes = _digit_planes(x_block, plan.off, plan.din)
+    planes = _digit_planes(x_block, plan.off, plan.din, plan.base)
     lazy, rb = _recombine_classes(planes, w_slices, const_row, plan.bw,
                                   plan.q, plan.one_shoup, plan.groups,
                                   plan.bounds)
