@@ -1,24 +1,38 @@
-"""Batched Nussbaumer negacyclic convolution over Z_{2^32-1}.
+"""Batched Nussbaumer negacyclic convolution over Z_{2^32-1} and Z_q.
 
 NTT-free alternative path (reference nussbaumer_fft, NTT.cu:147-277) used to
 cross-check the NTT pipelines.  The reference's pointer-chasing recursion over
 malloc'd row arrays is restructured as fixed-shape tensor ops (SURVEY.md §7
-step 6): the state is a (..., 2m, r) array; each butterfly level is a static
-row permutation + a per-row negacyclic shift realized as one static gather +
-sign mask; the 2m base multiplications are schoolbook negacyclic r-point
-products vectorized over all rows and batch lanes.
+step 6) in a *lanes=batch* layout: the state is a (2m, r, B) array with the
+batch in the minor (128-lane) dimension, so every arithmetic op runs at full
+VPU width regardless of r.  Because the butterfly pairings are contiguous row
+runs and every twiddle is a monomial w^s, the entire transform lowers to
+static slices + concats — zero gathers, zero dynamic indexing:
+
+- a butterfly level is, per group, two contiguous row-block slices combined
+  segment-wise along the r axis; the negacyclic wrap's sign flip is folded
+  into swapping add<->sub on the wrapped segment (no negation op is ever
+  materialized);
+- the 2m base multiplications are schoolbook negacyclic r-point products,
+  statically unrolled: each term is a cyclic concat-roll of Y along the
+  sublane (r) axis, one elementwise multiply, and a segment-split
+  add/subtract into the accumulator;
+- the 1/2 halvings of the inverse butterflies are deferred and applied once
+  at the end as a single multiplication by 2^-(log2(m)+1) (a bit-rotation in
+  Z_{2^32-1} since 2^32 === 1; one constant Shoup mulmod in Z_q).
 
 Math: to multiply in Z[X]/(X^n + 1) with n = m * r (m <= r, both powers of
 two), write x as m polynomials X_i(w) of length r (X_i[j] = x[j*m + i]),
 duplicate to 2m rows, run a 2m-point DFT over Z[w]/(w^r + 1) where the
 2m-th root of unity is the *monomial* w^(r/m) — multiplication by it is a
 negacyclic shift, no multiplies.  Pointwise negacyclic r-products, inverse
-butterflies with exact halving (2 is invertible mod 2^32-1), recombine:
+butterflies (halving deferred), recombine:
 z[m*j + i] = Z_i[j] + Z_{m+i}[j-1] (negacyclic wrap at j=0).
 
-Arithmetic is exact in Z_{2^32-1} whenever the true integer coefficients of
-the product are < 2^32-1 in magnitude — the reference has the same domain
-restriction (qTESLA's sparse/small multiplicands; SURVEY.md C19 note).
+Arithmetic in the Z_{2^32-1} ring is exact whenever the true integer
+coefficients of the product are < 2^32-1 in magnitude — the reference has the
+same domain restriction (qTESLA's sparse/small multiplicands; SURVEY.md C19
+note).  The Z_q variant is exact for all operands.
 """
 
 from __future__ import annotations
@@ -30,9 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .modmul import mulmod_barrett, reduce_u32, u32
-from .ringz32 import (RING_MOD, ring_add, ring_div2, ring_mul, ring_neg,
-                      ring_normalize, ring_sub)
+from .modmul import mulmod_barrett, reduce_u32, shoup_mulmod, u32
+from .ringz32 import RING_MOD, ring_add, ring_mul, ring_normalize, ring_sub
 
 __all__ = ["nussbaumer_negacyclic_ring", "nussbaumer_negacyclic_modq",
            "polymul_nussbaumer_fn", "polymul_nussbaumer_q_fn",
@@ -43,19 +56,32 @@ __all__ = ["nussbaumer_negacyclic_ring", "nussbaumer_negacyclic_modq",
 # Coefficient arithmetic hooks.  The butterfly/base-product machinery below
 # is generic over the coefficient ring: Z_{2^32-1} (the reference's exact
 # integer ring, NTT.cu:102-145) or Z_q directly (exact for ALL operands —
-# the guard-free variant the reference lacks).
+# the guard-free variant the reference lacks).  Each namespace provides
+# add/sub/mul plus scale_pow2_inv(v, k) = v * 2^-k, the deferred inverse
+# halvings applied once.
 # ----------------------------------------------------------------------
 
+
+def _ring_scale_pow2_inv(v, k: int):
+    """v * 2^-k mod 2^32-1: since 2^32 === 1, this is a right-rotation by
+    k bits (exact; preserves the double representation of zero)."""
+    k = k % 32
+    if k == 0:
+        return v
+    return (v >> np.uint32(k)) | (v << np.uint32(32 - k))
+
+
 _RING_ARITH = types.SimpleNamespace(
-    add=ring_add, sub=ring_sub, neg=ring_neg, mul=ring_mul,
-    div2=lambda v: ring_div2(ring_normalize(v)),
+    add=ring_add, sub=ring_sub, mul=ring_mul,
+    scale_pow2_inv=_ring_scale_pow2_inv,
 )
 
 
 def _modq_arith(q: int, r32: int, r32_shoup: int, one_shoup: int):
-    """Z_q arithmetic for the Nussbaumer recursion (q odd, < 2^31): the
-    monomial-shift negations become q - x, halving uses the odd-modulus
-    trick (x + q*(x&1)) >> 1, base products are full Barrett mulmods."""
+    """Z_q arithmetic for the Nussbaumer recursion (q odd, < 2^31):
+    conditional-subtract add/sub, full Barrett mulmods for the base
+    products, and a single constant Shoup mulmod for the deferred
+    2^-k scale."""
     qv = jnp.uint32(q)
 
     def add(a, b):
@@ -66,17 +92,15 @@ def _modq_arith(q: int, r32: int, r32_shoup: int, one_shoup: int):
         d = a - b
         return jnp.where(a >= b, d, d + qv)
 
-    def neg(a):
-        return jnp.where(a == 0, a, qv - a)
-
-    def div2(a):
-        return jnp.where((a & 1) != 0, (a + qv) >> 1, a >> 1)
-
     def mul(a, b):
         return mulmod_barrett(a, b, q, r32, r32_shoup, one_shoup)
 
-    return types.SimpleNamespace(add=add, sub=sub, neg=neg, mul=mul,
-                                 div2=div2)
+    def scale_pow2_inv(v, k):
+        c = pow(2, -k, q)
+        return shoup_mulmod(v, jnp.uint32(c), jnp.uint32((c << 32) // q), q)
+
+    return types.SimpleNamespace(add=add, sub=sub, mul=mul,
+                                 scale_pow2_inv=scale_pow2_inv)
 
 
 def _bitrev(x: int, bits: int) -> int:
@@ -89,139 +113,125 @@ def _bitrev(x: int, bits: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def nussbaumer_plan(n: int):
-    """Static plan: (m, r), per-level row pairings and shift amounts, and the
-    gather/sign tables that realize each negacyclic w-shift."""
+    """Static plan: (m, r, fwd, inv).  fwd/inv are level tuples; each level
+    is a tuple of groups (start, width, shift): rows [start, start+width)
+    are the butterfly's 'a' half, rows [start+width, start+2*width) the 'b'
+    half, and `shift` is the monomial exponent s of the twiddle w^s (forward
+    levels twiddle b before combining; inverse levels twiddle the difference
+    by w^-s after).  Groups tile the 2m rows contiguously in order, so a
+    level's output is the in-order concat of its per-group outputs."""
     logn = n.bit_length() - 1
     logm = logn // 2
     m = 1 << logm
     r = n // m
     assert m * r == n and m <= r
     unit = r // m                       # w^(r/m) is the 2m-th root
-    levels = []
-    for j in range(logm - 1, -1, -1):
-        idx_i, idx_l, shifts = [], [], []
-        for i in range(1 << (logm - j)):
-            sr = (_bitrev(i, logm - j) << j) * unit
-            for t in range(1 << j):
-                s = i << (j + 1)
-                idx_i.append(s + t)
-                idx_l.append(s + t + (1 << j))
-                shifts.append(sr)
-        levels.append((np.array(idx_i, np.int32), np.array(idx_l, np.int32),
-                       np.array(shifts, np.int32)))
-
-    def shift_tables(shifts):
-        """For per-row negacyclic left-multiplication by w^s:
-        out[a] = in[a-s] for a >= s, -in[r + a - s] for a < s."""
-        a = np.arange(r)[None, :]
-        s = shifts[:, None]
-        gather = (a - s) % r
-        negmask = a < s
-        return gather.astype(np.int32), negmask
-
     fwd = []
-    for idx_i, idx_l, shifts in levels:
-        g, neg = shift_tables(shifts)
-        perm = np.concatenate([idx_i, idx_l])
-        inv_perm = np.argsort(perm).astype(np.int32)
-        fwd.append((perm.astype(np.int32), inv_perm, g, neg))
+    for j in range(logm - 1, -1, -1):
+        groups = []
+        for i in range(1 << (logm - j)):
+            start = i << (j + 1)
+            shift = (_bitrev(i, logm - j) << j) * unit
+            groups.append((start, 1 << j, shift))
+        fwd.append(tuple(groups))
 
-    # inverse has logm+1 levels: j = 0..logm; the j = logm level (pair
-    # distance m, shift 0) undoes the duplication the forward started from
-    inv_levels = [levels[logm - 1 - j] for j in range(logm)]
-    top = np.arange(m, dtype=np.int32)
-    inv_levels.append((top, top + m, np.zeros(m, np.int32)))
+    # inverse runs the forward levels in reverse order, then one extra
+    # level pairing rows (i, m+i) at shift 0 to undo the input duplication
+    inv = [fwd[logm - 1 - j] for j in range(logm)]
+    inv.append(((0, m, 0),))
 
-    inv = []
-    for idx_i, idx_l, shifts in inv_levels:
-        # inverse level applies w^{-s}: out[a] = in[a+s] for a < r-s,
-        # -in[a - (r-s)] for a >= r-s
-        a = np.arange(r)[None, :]
-        s = shifts[:, None]
-        gather = ((a + s) % r).astype(np.int32)
-        negmask = a >= (r - s)
-        perm = np.concatenate([idx_i, idx_l])
-        inv_perm = np.argsort(perm).astype(np.int32)
-        inv.append((perm.astype(np.int32), inv_perm, gather, negmask))
-
-    return m, r, fwd, inv
+    return m, r, tuple(fwd), tuple(inv)
 
 
-def _apply_shift(rows, gather, negmask, A):
-    """rows: (..., P, r); per-row negacyclic monomial shift."""
-    g = jnp.asarray(gather)
-    shifted = jnp.take_along_axis(
-        rows, jnp.broadcast_to(g, rows.shape), axis=-1)
-    return jnp.where(jnp.asarray(negmask), A.neg(shifted), shifted)
+def _fwd_level(state, groups, r: int, A):
+    """One forward butterfly level on (2m, r, B) state.
+
+    Per group: b = w^s * b_raw has b[:s] = -b_raw[r-s:], b[s:] = b_raw[:r-s]
+    along the r axis; the sign folds into swapping add<->sub on the wrapped
+    segment, so the twiddle costs nothing beyond the slicing."""
+    outs = []
+    for start, w, s in groups:
+        a = state[start:start + w]
+        b = state[start + w:start + 2 * w]
+        if s == 0:
+            outs.append(A.add(a, b))
+            outs.append(A.sub(a, b))
+        else:
+            outs.append(jnp.concatenate(
+                [A.sub(a[:, :s], b[:, r - s:]),
+                 A.add(a[:, s:], b[:, :r - s])], axis=1))
+            outs.append(jnp.concatenate(
+                [A.add(a[:, :s], b[:, r - s:]),
+                 A.sub(a[:, s:], b[:, :r - s])], axis=1))
+    return jnp.concatenate(outs, axis=0)
 
 
-def _forward(state, fwd, A):
-    """state: (..., 2m, r) -> transformed, via static row-permute butterflies."""
-    for perm, inv_perm, gather, negmask in fwd:
-        v = jnp.take(state, jnp.asarray(perm), axis=-2)
-        p = v.shape[-2] // 2
-        a = v[..., :p, :]
-        b = _apply_shift(v[..., p:, :], gather, negmask, A)
-        out = jnp.concatenate([A.add(a, b), A.sub(a, b)], axis=-2)
-        state = jnp.take(out, jnp.asarray(inv_perm), axis=-2)
-    return state
+def _inv_level(state, groups, r: int, A):
+    """One inverse butterfly level (halving deferred to the final scale).
+
+    Per group: sum = a + b; diff twiddled by w^-s is
+    out_d[j] = d[j+s] for j < r-s and -d[j-(r-s)] for j >= r-s, with the
+    negation folded as d -> sub(b, a) on the wrapped segment."""
+    outs = []
+    for start, w, s in groups:
+        a = state[start:start + w]
+        b = state[start + w:start + 2 * w]
+        outs.append(A.add(a, b))
+        if s == 0:
+            outs.append(A.sub(a, b))
+        else:
+            outs.append(jnp.concatenate(
+                [A.sub(a[:, s:], b[:, s:]),
+                 A.sub(b[:, :s], a[:, :s])], axis=1))
+    return jnp.concatenate(outs, axis=0)
 
 
-def _inverse(state, inv, A):
-    for perm, inv_perm, gather, negmask in inv:
-        v = jnp.take(state, jnp.asarray(perm), axis=-2)
-        p = v.shape[-2] // 2
-        a = v[..., :p, :]
-        b = v[..., p:, :]
-        s = A.div2(A.add(a, b))
-        d = A.div2(A.sub(a, b))
-        d = _apply_shift(d, gather, negmask, A)
-        out = jnp.concatenate([s, d], axis=-2)
-        state = jnp.take(out, jnp.asarray(inv_perm), axis=-2)
-    return state
-
-
-def _base_negacyclic(x, y, r: int, A):
-    """Schoolbook negacyclic r-point products, vectorized over (..., 2m) rows:
-    z[..., i] = sum_j s(i,j) * x[..., j] * y[..., (i-j) mod r], statically
-    unrolled over j (replaces the reference's `naive`, NTT.cu:147-165)."""
-    acc = None
-    for j in range(r):
-        yr = jnp.roll(y, j, axis=-1)
-        if j > 0:
-            mask = np.zeros((r,), dtype=bool)
-            mask[:j] = True            # wrapped positions i < j get negated
-            yr = jnp.where(jnp.asarray(mask), A.neg(yr), yr)
-        term = A.mul(x[..., j:j + 1], yr)
-        acc = term if acc is None else A.add(acc, term)
+def _base_negacyclic(X, Y, r: int, A):
+    """Schoolbook negacyclic r-point products on (2m, r, B) rows:
+    z[:, i, :] = sum_j sign(i,j) * X[:, j, :] * Y[:, (i-j) mod r, :],
+    statically unrolled over j (replaces the reference's `naive`,
+    NTT.cu:147-165).  Each term is a cyclic concat-roll of Y along the
+    sublane axis; the negacyclic sign (output rows i < j) folds into
+    subtracting that segment from the accumulator."""
+    acc = A.mul(X[:, 0:1, :], Y)
+    for j in range(1, r):
+        rolled = jnp.concatenate([Y[:, r - j:, :], Y[:, :r - j, :]], axis=1)
+        prod = A.mul(X[:, j:j + 1, :], rolled)
+        acc = jnp.concatenate([A.sub(acc[:, :j], prod[:, :j]),
+                               A.add(acc[:, j:], prod[:, j:])], axis=1)
     return acc
 
 
 def _nussbaumer(x, y, A):
-    """Generic negacyclic product over the coefficient arithmetic A."""
+    """Generic negacyclic product over the coefficient arithmetic A.
+    x, y: (..., n); internally (2m, r, B) with the flattened batch in
+    lanes."""
     n = x.shape[-1]
     m, r, fwd, inv = nussbaumer_plan(n)
     batch = x.shape[:-1]
+    logm = m.bit_length() - 1
 
     def lift(v):
-        # X_i[j] = v[j*m + i]: (..., r, m) -> (..., m, r), duplicated to 2m
-        vm = v.reshape(*batch, r, m)
-        vm = jnp.swapaxes(vm, -1, -2)
-        return jnp.concatenate([vm, vm], axis=-2)
+        # X_i[j] = v[j*m + i]: (B, r, m) -> (m, r, B), duplicated to 2m
+        vm = v.reshape(-1, r, m)
+        vm = jnp.transpose(vm, (2, 1, 0))
+        return jnp.concatenate([vm, vm], axis=0)
 
-    X = _forward(lift(x), fwd, A)
-    Y = _forward(lift(y), fwd, A)
+    X = lift(x)
+    Y = lift(y)
+    for groups in fwd:
+        X = _fwd_level(X, groups, r, A)
+        Y = _fwd_level(Y, groups, r, A)
     Z = _base_negacyclic(X, Y, r, A)
-    Z = _inverse(Z, inv, A)
-    P = Z[..., :m, :]                   # Z_i
-    Q = Z[..., m:, :]                   # Z_{m+i}
+    for groups in inv:
+        Z = _inv_level(Z, groups, r, A)
+    P = Z[:m]                           # Z_i
+    Q = Z[m:]                           # Z_{m+i}
     # z[m*j + i] = P[i, j] + Q[i, j-1], with Q[i, -1] wrapping negacyclically
-    Qs = jnp.roll(Q, 1, axis=-1)
-    wrapmask = np.zeros((r,), dtype=bool)
-    wrapmask[0] = True
-    Qs = jnp.where(jnp.asarray(wrapmask), A.neg(Qs), Qs)
-    zm = A.add(P, Qs)                   # (..., m=i, r=j)
-    return jnp.swapaxes(zm, -1, -2).reshape(*batch, n)
+    zm = jnp.concatenate([A.sub(P[:, :1], Q[:, r - 1:]),
+                          A.add(P[:, 1:], Q[:, :r - 1])], axis=1)
+    zm = A.scale_pow2_inv(zm, logm + 1)   # the deferred inverse halvings
+    return jnp.transpose(zm, (2, 1, 0)).reshape(*batch, n)
 
 
 def nussbaumer_negacyclic_ring(x, y):
@@ -235,9 +245,9 @@ def nussbaumer_negacyclic_ring(x, y):
 def nussbaumer_negacyclic_modq(x, y, ps):
     """Negacyclic product over Z_q via the Nussbaumer recursion — exact for
     ALL canonical operands (no coefficient-magnitude restriction): every
-    butterfly, halving and base product is carried out mod q.  The
-    reference's Z_{2^32-1} path (NTT.cu:147-277) is wrong-silent outside
-    its domain; this variant removes the domain entirely."""
+    butterfly and base product is carried out mod q.  The reference's
+    Z_{2^32-1} path (NTT.cu:147-277) is wrong-silent outside its domain;
+    this variant removes the domain entirely."""
     A = _modq_arith(ps.q, ps.r32, ps.r32_shoup, ps.one_shoup)
     return _nussbaumer(x, y, A)
 
@@ -252,9 +262,9 @@ def ring_exact_coeff_bound(n: int) -> int:
 
 
 # Batch chunk for the jitted pipelines: the tensorized recursion's
-# intermediates ((..., 2m, r) planes through log2(m) butterfly levels plus
-# the m-term base-product accumulation) grow ~linearly with batch, and a
-# single-shot batch >= 2048 at n=1024 crashes the TPU worker (measured
+# intermediates ((2m, r, B) planes through log2(m) butterfly levels plus
+# the r-term base-product accumulation) grow ~linearly with batch, and a
+# single-shot batch >= 2048 at n=1024 crashed the TPU worker (measured
 # round 3).  Shapes are static under jit, so large batches run as a
 # sequential lax.map over fixed-size chunks — same results, bounded
 # footprint, any batch size.
