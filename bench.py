@@ -102,10 +102,10 @@ def main() -> int:
     extras += [(s, best_algo, BATCHES[0]) for s in ("qtesla-i", "qtesla-p-i",
                                                     "qtesla-p-iii")]
     # the paper's title algorithm (reference NTT.cu:147-277) — recorded so
-    # the Nussbaumer path has a committed TPU number, not just correctness
-    # B capped at 512: the tensorized Z_{2^32-1} pipeline's intermediates
-    # crash the TPU worker at B >= 2048 (measured round 3; throughput is
-    # batch-independent anyway — ~5.5k/s at B in {512, 1024})
+    # the Nussbaumer path has a committed TPU number, not just correctness.
+    # B=512 = one lanes=batch chunk (larger batches run as chunked lax.map
+    # with batch-independent throughput — ~432k/s after the round-3
+    # lanes=batch rewrite)
     extras.append((PARAM_SET, "nussbaumer", 512))
     for pset, candidate, batch_d in extras:
         try:
