@@ -134,6 +134,16 @@ def main() -> int:
                         name=f"polymul_fixed[{PARAM_SET},mxu,"
                              f"B={BATCHES[0]}]")
             print(f"# {r.line()}", file=sys.stderr)
+            # round-3 constant-folded variant: the pointwise diagonal lives
+            # inside per-constant inverse matmul tables (no pointwise stage)
+            prep_f, mul_f = polymul_fixed_fn(PARAM_SET, "mxu-folded")
+            Af = prep_f(jnp.asarray(rng.integers(
+                0, ps.q, (1, ps.n), dtype=np.uint32)))
+            r = measure(lambda _, c: mul_f(c, Af), x, x, warmup=2,
+                        iters=ITERS, items_per_iter=BATCHES[0], chain=True,
+                        name=f"polymul_fixed[{PARAM_SET},mxu-folded,"
+                             f"B={BATCHES[0]}]")
+            print(f"# {r.line()}", file=sys.stderr)
         except Exception as e:
             print(f"# fixed-operand failed: {e}", file=sys.stderr)
         # generality beyond the reference's N=4..1024 ladder: the Dilithium

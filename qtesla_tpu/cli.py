@@ -137,20 +137,31 @@ def cmd_speed(args) -> int:
         rng = np.random.default_rng(args.seed)
         # fixed-operand pairs exist for 'mxu'/'fused' (TPU) and 'merged';
         # 'all'/comma lists are filtered the same way the CPU guard works
-        requested = _algos(args.algo)
-        fixed_algos = [a for a in requested if a in ("mxu", "fused",
-                                                     "merged")]
+        # 'mxu-folded' exists only as a fixed-operand variant, so it is
+        # parsed here rather than in the shared _algos registry
+        toks = [t.strip() for t in args.algo.split(",")]
+        folded = [t for t in toks if t == "mxu-folded"]
+        rest = ",".join(t for t in toks if t != "mxu-folded")
+        requested = (_algos(rest) if rest else []) + folded
+        fixed_algos = [a for a in requested if a in ("mxu", "mxu-folded",
+                                                     "fused", "merged")]
+        # 'all' predates the folded variant; include it whenever mxu runs
+        if "mxu" in fixed_algos and "mxu-folded" not in fixed_algos:
+            fixed_algos.append("mxu-folded")
         for a in requested:
             if a not in fixed_algos:
                 print(f"  {a:10s} SKIP (no fixed-operand variant; "
-                      "available: mxu, fused, merged)")
+                      "available: mxu, mxu-folded, fused, merged)")
         if not fixed_algos:
             return 1
         out = []
         for algo in fixed_algos:
             prep, mul = polymul_fixed_fn(ps.name, algo)
             A = prep(jnp.asarray(
-                rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
+                rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)))
+            if algo != "mxu-folded":
+                A = A[0]        # (1, n) spectrum -> (n,); folded prep
+                                # returns the (W', const') table pair
             xh = rng.integers(0, ps.q, (args.batch, ps.n), dtype=np.uint32)
             if getattr(args, "streamed", False):
                 # fixed + streamed: the qTESLA-verification serving bracket —

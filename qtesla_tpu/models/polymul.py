@@ -200,13 +200,39 @@ def polymul_fn(name: str, algo: str = "merged"):
 def polymul_fixed_fn(name: str, algo: str = "mxu"):
     """(prepare, multiply) pair for fixed-operand products z = x * a with a
     constant polynomial a (the qTESLA verification shape: a is the public
-    polynomial).  prepare(a) -> spectrum A (run once); multiply(x, A) ->
-    (B, n) products, costing one forward + one inverse transform each (the
-    streamed-both-operands pipelines pay two forwards)."""
+    polynomial).  prepare(a) -> A (run once); multiply(x, A) -> (B, n)
+    products, costing one forward + one inverse transform each (the
+    streamed-both-operands pipelines pay two forwards).  For 'mxu'/'fused'/
+    'merged', A is the spectrum; for 'mxu-folded' (fastest), A is the
+    (W', const') folded inverse-table pair — the constant's pointwise
+    diagonal baked into the inverse matmul, deleting the pointwise stage
+    (measured +6-13% over 'mxu' on v5e, docs/BENCHMARKS.md)."""
     tbl = get_tables(name)
     if algo == "mxu":
         from ..ops.ntt_mxu import ntt_mxu_fn, polymul_fixed_mxu_fn
         return ntt_mxu_fn(name), polymul_fixed_mxu_fn(name)
+    if algo == "mxu-folded":
+        # the constant's pointwise diagonal folded into the inverse matmul
+        # tables (ntt_mxu.fixed_fold_plan): prepare() returns (W', const')
+        # instead of a spectrum, and multiply() runs fwd -> inv with NO
+        # pointwise stage.  prepare is a host-side exact-int construction
+        # (run once per constant); every constant shares one compiled
+        # kernel.
+        import numpy as _np
+
+        from ..ops.ntt_mxu import (fixed_fold_tables, ntt_mxu_fn,
+                                   polymul_fixed_folded_mxu_fn)
+        fwd = ntt_mxu_fn(name)
+        mulk = polymul_fixed_folded_mxu_fn(name)
+
+        def prep(a):
+            a = jnp.asarray(a, jnp.uint32).reshape(1, -1)
+            return fixed_fold_tables(name, _np.asarray(fwd(a))[0])
+
+        def mul(x, A):
+            return mulk(x, *A)
+
+        return prep, mul
     if algo == "fused":
         from ..ops.ntt_pallas import ntt_fused_fn, polymul_fixed_fused_fn
         return ntt_fused_fn(name), polymul_fixed_fused_fn(name)

@@ -53,7 +53,8 @@ from .ntt_pallas import _csub
 from .tables import NttTables, get_tables
 
 __all__ = ["polymul_mxu_fn", "polymul_fixed_mxu_fn", "ntt_mxu_fn",
-           "intt_mxu_fn", "get_mxu_tables"]
+           "intt_mxu_fn", "get_mxu_tables", "fixed_fold_plan",
+           "fixed_fold_tables", "polymul_fixed_folded_mxu_fn"]
 
 _BW_MAX = 128            # block width = one vreg of lanes
 
@@ -1048,3 +1049,207 @@ def intt_mxu_fn(name: str, tile_b: int | None = None,
                                       _tile_b(mt, tile_b, mt.Di),
                                       interpret), mt.n)
     return jax.jit(lambda x: run(jnp.asarray(x, jnp.uint32)))
+
+
+# ----------------------------------------------------------------------
+# Fixed-operand constant folding: the pointwise diagonal folded into the
+# inverse block matrices.
+# ----------------------------------------------------------------------
+
+class _FixedFoldPlan:
+    """Static digit/recombination plan for the folded fixed-operand kernel
+    (pure data holder; built once per parameter set by fixed_fold_plan)."""
+
+    __slots__ = ("base", "Din", "Dout", "groups", "bounds", "off",
+                 "in_bound", "fwd_out", "canon", "mw_wc", "out_bound")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def fixed_fold_plan(name: str, bw: int | None = None) -> _FixedFoldPlan:
+    """Plan for folding a constant spectrum's diagonal into the inverse
+    block matmul (the fixed-operand serving path): with a constant second
+    operand a, z = INTT(X^ * A^) = InvRolls(M_inv' @ X^) where
+    M_inv' = M_inv @ diag(A^) per 128-lane block — the pointwise stage
+    disappears entirely (the reference's pointwise_mult, NTT.cu:1155-1160,
+    becomes a free column scaling of constant matrices).
+
+    M_inv' depends on the runtime constant, so the digit/class plan is
+    computed HERE from worst-case matrix digit maxima (any entries mod q):
+    every constant then shares ONE compiled kernel, and fixed_fold_tables
+    only fills in W'/const' arrays (runtime operands) under this plan.
+
+    Two input-split candidates are costed with the same static model the
+    flagship tables use (_plan_cost): LAZY (split the forward matmul's raw
+    lazy output directly — usually one extra digit plane) vs CANON
+    (canonicalize the forward output first, then the minimal split)."""
+    mt = get_mxu_tables(name, bw)
+    q, bwv = mt.q, mt.bw
+    Dout = _ndigits(q)
+    down = _reduce_kind(q)
+    fwd_out = _recombine_bound(mt.groups_f, mt.bounds_f, q)
+    # worst-case per-plane |digit| of ANY centered matrix entry mod q
+    # (identical for every input plane i: 2^{8i}K mod q spans the same
+    # centered range) — _input_digit_maxima mirrors _balanced_digits'
+    # biased extraction exactly
+    wcm = _input_digit_maxima(Dout, q >> 1, q, 256)
+    best = None
+    for in_bound, canon in ((fwd_out, False), (q, True)):
+        for base in (256, 128):
+            Din = _plane_count(in_bound, base)
+            if Din is None:
+                continue
+            mw = np.tile(np.asarray(wcm, np.int64), (Din, 1))
+            bounds = _digit_bounds(
+                mw, bwv, _input_digit_maxima(Din, in_bound >> 1,
+                                             in_bound, base))
+            try:
+                groups = _plan_groups(bounds, q, down)
+            except ValueError:
+                continue
+            (sh, cs, ng), _ = _plan_cost(groups, bounds, q, down)
+            cost = (_COST_SHOUP * sh + _COST_CSUB * cs
+                    + (_COST_PLANE + Dout) * Din)
+            if canon:
+                # pre-split canonicalization of the forward output —
+                # mirror of reduce_bounded_2q's route + one csub to q
+                if fwd_out <= 2 * q:
+                    cost += _COST_CSUB
+                elif fwd_out <= 16 * q:
+                    cost += _COST_CSUB * (
+                        _chain_csubs(fwd_out, 2 * q, q) + 1)
+                elif down == "reduce_sparse":
+                    cost += 4 * _COST_CSUB
+                else:
+                    cost += _COST_SHOUP + 2 * _COST_CSUB
+            key = (cost, ng)
+            if best is None or key < best[0]:
+                best = (key, _FixedFoldPlan(
+                    base=base, Din=Din, Dout=Dout, groups=tuple(groups),
+                    bounds=tuple(bounds), off=in_bound >> 1,
+                    in_bound=in_bound, fwd_out=fwd_out, canon=canon,
+                    mw_wc=tuple(wcm),
+                    out_bound=_recombine_bound(groups, bounds, q)))
+    if best is None:
+        raise ValueError(
+            f"{name}: no digit split covers the fixed-fold input bounds")
+    return best[1]
+
+
+def fixed_fold_tables(name: str, spectrum, bw: int | None = None):
+    """Per-constant folded inverse tables (host-exact numpy): `spectrum` is
+    the CANONICAL forward NTT of the constant polynomial, (n,) uint32 in
+    the kernel's (merged) output order — use ntt_mxu_fn / models.ntt.
+    Scales the columns of the exact inverse block matrices by the spectrum
+    (M' = M_inv @ diag(A^) mod q) and digit-decomposes them under the
+    shared worst-case plan.  Returns (W, const) arrays for
+    polymul_fixed_folded_mxu_fn."""
+    mt = get_mxu_tables(name, bw)
+    fp = fixed_fold_plan(name, bw)
+    q, bwv, nb = mt.q, mt.bw, mt.nb
+    d = np.asarray(spectrum)
+    if d.shape != (mt.n,):
+        raise ValueError(f"spectrum must be ({mt.n},), got {d.shape}")
+    d = d.astype(object) % q
+    Mi = _inv_matrix(mt.tbl, mt.logn - mt.Lr).astype(object)
+    M = (Mi * d[None, :]) % q          # scale COLUMNS: M_inv @ diag(A^)
+    W = np.zeros((nb, fp.Din, bwv, fp.Dout * bwv), dtype=np.int8)
+    const = np.zeros((nb, 1, bwv), dtype=np.uint32)
+    mw = np.zeros((fp.Din, fp.Dout), dtype=np.int64)
+    for b in range(nb):
+        Mb = M[b * bwv:(b + 1) * bwv, b * bwv:(b + 1) * bwv]
+        W[b], colsum = _matrix_digit_block(Mb.T, q, fp.Din, fp.Dout, mw,
+                                           fp.base)
+        const[b, 0, :] = _const_row(colsum, fp.off, fp.groups, fp.bounds, q)
+    # plan soundness: the actual digit maxima must sit inside the
+    # worst-case maxima the shared plan was sized for
+    assert (mw <= np.asarray(fp.mw_wc, np.int64)[None, :]).all(), \
+        "folded-matrix digits exceed the worst-case plan"
+    return jnp.asarray(W), jnp.asarray(const)
+
+
+@functools.lru_cache(maxsize=None)
+def polymul_fixed_folded_mxu_fn(name: str, tile_b: int | None = None,
+                                interpret: bool = False,
+                                bw: int | None = None):
+    """Jitted folded fixed-operand negacyclic polymul:
+    (B, n) x fixed_fold_tables(name, A^) -> (B, n).  The constant's
+    pointwise diagonal lives inside the inverse matmul tables, so the
+    kernel is forward -> inverse with NO pointwise stage; bit-identical
+    to polymul_fixed_mxu_fn / algo='merged'."""
+    mt = get_mxu_tables(name, bw)
+    fp = fixed_fold_plan(name, bw)
+    q = mt.q
+    one_shoup = mt.tbl.ps.one_shoup
+    names, arrs, specs = _table_inputs(mt, True, False)   # fwd tables only
+    n = mt.n
+    rb_static = fp.out_bound
+
+    def kernel(*refs):
+        x_ref, wI_ref, cI_ref = refs[0], refs[1], refs[2]
+        z_ref = refs[-1]
+        tab = dict(zip(names, refs[3:-1]))
+        blocks = _split_blocks(x_ref, mt)
+        if mt.Lr:
+            blocks = _fwd_rolls(blocks, mt)
+        blocks, fb = _block_matmul(blocks, tab["wf"], tab["constf"], mt,
+                                   mt.groups_f, mt.bounds_f, mt.fwd_off,
+                                   mt.Df, mt.fwd_base)
+        assert fb == fp.fwd_out, "forward bound drifted from the fold plan"
+        if fp.canon:
+            blocks = [_csub(reduce_bounded_2q(v, fp.fwd_out, q, one_shoup),
+                            q) for v in blocks]
+        outs = [_one_block_matmul(
+            _digit_planes(blk, fp.off, fp.Din, fp.base), b, wI_ref, cI_ref,
+            mt, fp.groups, fp.bounds, fp.Din)
+            for b, blk in enumerate(blocks)]
+        assert outs[0][1] == rb_static, "fold recombination bound drifted"
+        blocks = [reduce_bounded_2q(v, rb_static, q, one_shoup)
+                  for v, _ in outs]
+        if mt.Lr:
+            blocks = _inv_rolls(blocks, mt)
+        else:
+            blocks = [_csub(v, q) for v in blocks]
+        _store_blocks(z_ref, blocks, mt)
+
+    tile = _tile_b(mt, tile_b, mt.Df + fp.Din)
+
+    def run(x, W, c):
+        B = x.shape[0]
+        tb = min(tile, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tb
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        Bp = B + pad
+        fold_specs = [pl.BlockSpec(a.shape,
+                                   (lambda *_, nd=a.ndim: (0,) * nd),
+                                   memory_space=pltpu.VMEM)
+                      for a in (W, c)]
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tb,),
+            in_specs=[pl.BlockSpec((tb, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + fold_specs + specs,
+            out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.uint32),
+            interpret=interpret,
+            **kwargs,
+        )(x, W, c, *arrs)
+        return out[:B] if pad else out
+
+    def fn(x, W, c):
+        x = jnp.asarray(x, jnp.uint32)
+        shape = x.shape
+        out = run(x.reshape(-1, n), jnp.asarray(W), jnp.asarray(c))
+        return out.reshape(shape)
+
+    return jax.jit(fn)

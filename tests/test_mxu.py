@@ -174,3 +174,71 @@ def test_mxu_dp_shard_map_interpret(rng):
     z = np.asarray(fn(x, y))
     want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
     np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_mxu_fixed_folded_bit_exact(rng, name):
+    """Constant-folded fixed-operand kernel: the constant's pointwise
+    diagonal is folded into per-constant inverse matmul tables
+    (fixed_fold_plan / fixed_fold_tables — the reference's pointwise_mult,
+    NTT.cu:1155-1160, becomes a column scaling of constant matrices), so
+    the kernel runs forward -> inverse with no pointwise stage.  Must be
+    bit-identical to the merged pipeline for every parameter set."""
+    from qtesla_tpu.ops.ntt_mxu import (fixed_fold_tables, ntt_mxu_fn,
+                                        polymul_fixed_folded_mxu_fn)
+    ps = get_params(name)
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    x = rng.integers(0, ps.q, (5, ps.n), dtype=np.uint32)
+    spec = np.asarray(ntt_mxu_fn(name, interpret=True)(a.reshape(1, -1)))[0]
+    W, c = fixed_fold_tables(name, spec)
+    z = np.asarray(
+        polymul_fixed_folded_mxu_fn(name, interpret=True)(x, W, c))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+    # edge diagonals through the SAME shared worst-case plan: all-zero
+    # (annihilates everything) and all-(q-1) (maximal centered magnitudes)
+    for const in (0, ps.q - 1):
+        d = np.full((ps.n,), const, dtype=np.uint32)
+        W, c = fixed_fold_tables(name, d)
+        z = np.asarray(
+            polymul_fixed_folded_mxu_fn(name, interpret=True)(x[:2], W, c))
+        # reference product: intt(ntt(x) * d) via the merged pipeline
+        import jax
+        import jax.numpy as jnp
+        tbl = get_tables(name)
+        want = np.asarray(jax.jit(lambda v: N.intt_inv_merged(
+            N.pointwise_mul(N.ntt_fwd_merged(v, tbl),
+                            jnp.full((ps.n,), const, jnp.uint32), tbl),
+            tbl))(jnp.asarray(x[:2])))
+        np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_fixed_fold_table_invariants(rng, name):
+    """The folded tables reconstruct M_inv @ diag(A^) mod q exactly under
+    the shared worst-case plan, and the plan's Horner groups fit int32."""
+    from qtesla_tpu.ops.ntt_mxu import (_inv_matrix, fixed_fold_plan,
+                                        fixed_fold_tables)
+    from qtesla_tpu.ops.ntt_mxu import get_mxu_tables
+    ps = get_params(name)
+    mt = get_mxu_tables(name)
+    fp = fixed_fold_plan(name)
+    for j0, ln in fp.groups:
+        assert sum((256 ** m) * fp.bounds[j0 + m]
+                   for m in range(ln)) < 1 << 31
+    spec = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    W, c = fixed_fold_tables(name, spec)
+    W = np.asarray(W)
+    q, bw = ps.q, mt.bw
+    Mi = _inv_matrix(mt.tbl, mt.logn - mt.Lr).astype(object)
+    Mp = (Mi * spec.astype(object)[None, :]) % q
+    for b in (0, mt.nb - 1):
+        K = Mp[b * bw:(b + 1) * bw, b * bw:(b + 1) * bw].T
+        for i in range(fp.Din):
+            rec = np.zeros((bw, bw), dtype=object)
+            for j in range(fp.Dout):
+                rec = rec + (W[b, i][:, j * bw:(j + 1) * bw]
+                             .astype(object) * (256 ** j))
+            assert (((rec - K * pow(fp.base, i, q)) % q) == 0).all(), \
+                (name, b, i)

@@ -56,7 +56,7 @@ def test_polymul_kernels_on_device(name, algo):
 
 
 @pytest.mark.parametrize("name", ["qtesla-iii-speed", "qtesla-p-iii"])
-@pytest.mark.parametrize("algo", ["mxu", "fused"])
+@pytest.mark.parametrize("algo", ["mxu", "mxu-folded", "fused"])
 def test_fixed_operand_on_device(name, algo):
     import jax.numpy as jnp
     from qtesla_tpu.models import polymul_fixed_fn, polymul_negacyclic
