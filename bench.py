@@ -7,6 +7,12 @@ BATCH=2-with-PCIe loop).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "polymuls/s/chip", "vs_baseline": N}
 
+CONTRACT: the JSON line is the LAST line on stdout — every diagnostic
+(stderr) and subprocess runs BEFORE it, so a tail-window capture of the
+output always contains the headline (round-3 regression: the JSON printed
+first and ~18 diagnostic lines scrolled it out of the driver's capture;
+BENCH_r03.json recorded parsed=null).
+
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 denominator is REFERENCE_ESTIMATE = 1e6 polymuls/s — a generous estimate of
 the reference-class GPU pipeline's throughput at this n (its shipped config
@@ -43,6 +49,141 @@ def pick_algo() -> str:
     return "merged"
 
 
+def _diag(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
+    """All stderr diagnostic measurements.  Each block is individually
+    guarded: a diagnostic failure must never cost the headline JSON (which
+    main() prints AFTER this returns, as the last stdout line)."""
+    from qtesla_tpu.utils.timing import benchmark_polymul
+
+    extras = []
+    if best_algo == "mxu":
+        extras.append((PARAM_SET, "fused", BATCHES[0]))
+    if best_algo != "merged":
+        extras.append((PARAM_SET, "merged", BATCHES[0]))
+    extras += [(s, best_algo, BATCHES[0]) for s in ("qtesla-i", "qtesla-p-i",
+                                                    "qtesla-p-iii")]
+    # the paper's title algorithm (reference NTT.cu:147-277) — recorded so
+    # the Nussbaumer path has a committed TPU number, not just correctness.
+    # B=512 = one lanes=batch chunk (larger batches run as chunked lax.map
+    # with batch-independent throughput)
+    extras.append((PARAM_SET, "nussbaumer", 512))
+    for pset, candidate, batch_d in extras:
+        try:
+            r = benchmark_polymul(pset, candidate, batch=batch_d,
+                                  iters=ITERS)
+            _diag(r.line())
+        except Exception as e:
+            _diag(f"{pset}/{candidate} failed: {e}")
+    if best_algo != "mxu":
+        return
+    # fixed-operand workload (constant polynomial, spectrum precomputed)
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+        from qtesla_tpu.models import polymul_fixed_fn
+        from qtesla_tpu.params import get_params
+        from qtesla_tpu.utils.timing import measure
+        ps = get_params(PARAM_SET)
+        rng = np.random.default_rng(0)
+        prep, mul = polymul_fixed_fn(PARAM_SET, "mxu")
+        A = prep(jnp.asarray(rng.integers(
+            0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
+        x = jnp.asarray(rng.integers(0, ps.q, (BATCHES[0], ps.n),
+                                     dtype=np.uint32))
+        r = measure(lambda _, c: mul(c, A), x, x, warmup=2, iters=ITERS,
+                    items_per_iter=BATCHES[0], chain=True,
+                    name=f"polymul_fixed[{PARAM_SET},mxu,"
+                         f"B={BATCHES[0]}]")
+        _diag(r.line())
+        # round-3 constant-folded variant: the pointwise diagonal lives
+        # inside per-constant inverse matmul tables (no pointwise stage)
+        prep_f, mul_f = polymul_fixed_fn(PARAM_SET, "mxu-folded")
+        Af = prep_f(jnp.asarray(rng.integers(
+            0, ps.q, (1, ps.n), dtype=np.uint32)))
+        r = measure(lambda _, c: mul_f(c, Af), x, x, warmup=2,
+                    iters=ITERS, items_per_iter=BATCHES[0], chain=True,
+                    name=f"polymul_fixed[{PARAM_SET},mxu-folded,"
+                         f"B={BATCHES[0]}]")
+        _diag(r.line())
+    except Exception as e:
+        _diag(f"fixed-operand failed: {e}")
+    # generality beyond the reference's N=4..1024 ladder: the Dilithium
+    # prime, registered at runtime, through the same flagship kernel
+    try:
+        from qtesla_tpu.params import register_param_set
+        register_param_set("dilithium-256", n=256, q=8380417)
+        r = benchmark_polymul("dilithium-256", "mxu", batch=BATCHES[0],
+                              iters=ITERS)
+        _diag(r.line())
+    except Exception as e:
+        _diag(f"dilithium-256 failed: {e}")
+    # SP trend (round-2 VERDICT item 4): per-chip local pipeline of the
+    # sharded four-step vs the flagship — tax = k*t_local/t_flagship
+    try:
+        from qtesla_tpu.utils.timing import benchmark_sp_local
+        for k in (2, 4, 8):
+            r, _ = benchmark_sp_local(PARAM_SET, k, batch=BATCHES[0],
+                                      iters=ITERS)
+            tax = k * r.min_s / t_flag_best
+            norm = BATCHES[0] / (k * r.min_s)
+            _diag(f"{r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
+                  f"{norm / 1e6:.2f} M/s")
+    except Exception as e:
+        _diag(f"sp_local failed: {e}")
+    # Ulysses-style SP (batch<->position transpose + local flagship kernel):
+    # the default SP strategy for B >= k; local surface = the flagship at
+    # B/k, so the tax is the kernel's own sub-batch efficiency
+    try:
+        from qtesla_tpu.utils.timing import benchmark_ulysses_local
+        for k in (2, 4, 8):
+            r = benchmark_ulysses_local(PARAM_SET, k, batch=BATCHES[0],
+                                        iters=ITERS)
+            tax = k * r.min_s / t_flag_best
+            norm = BATCHES[0] / (k * r.min_s)
+            _diag(f"{r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
+                  f"{norm / 1e6:.2f} M/s")
+    except Exception as e:
+        _diag(f"ulysses_local failed: {e}")
+    # fixed-operand SP local surface (round-3 VERDICT item 7): the
+    # four-step SP fixed path's per-chip pipeline (one fwd + one inv)
+    try:
+        from qtesla_tpu.utils.timing import benchmark_sp_local_fixed
+        r, _ = benchmark_sp_local_fixed(PARAM_SET, 4, batch=BATCHES[0],
+                                        iters=ITERS)
+        _diag(r.line())
+    except Exception as e:
+        _diag(f"sp_local_fixed failed: {e}")
+
+
+def _cpu_mesh_validation() -> None:
+    """CPU-mesh DP/SP relative throughput.  VIRTUAL devices on this host's
+    single core: validates the sharded code path and records relative
+    overhead, NOT ICI scaling (the JSON rows carry virtual_devices/caveat
+    fields; see cli.cmd_scaling)."""
+    try:
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        cp = subprocess.run(
+            [sys.executable, "-m", "qtesla_tpu.cli", "scaling",
+             "--param-set", "qtesla-iii-speed", "--global-batch", "2048",
+             "--iters", "10", "--model", "4", "--json"],
+            capture_output=True, text=True, timeout=1500, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        tail = [ln for ln in cp.stdout.strip().splitlines() if ln]
+        if cp.returncode == 0 and tail:
+            _diag(f"cpu-mesh scaling: {tail[-1]}")
+        else:
+            _diag(f"cpu-mesh scaling failed: rc={cp.returncode} "
+                  f"{cp.stderr[-200:]}")
+    except Exception as e:
+        _diag(f"cpu-mesh scaling failed: {e}")
+
+
 def main() -> int:
     from qtesla_tpu.utils.timing import benchmark_polymul
 
@@ -61,19 +202,26 @@ def main() -> int:
             r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
                                   iters=ITERS)
         except Exception as e:
-            print(f"# {candidate} B={batch} failed: {e}", file=sys.stderr)
+            _diag(f"{candidate} B={batch} failed: {e}")
             continue
-        print(f"# {r.line()}", file=sys.stderr)
+        _diag(r.line())
         if best is None or r.throughput_best > best[2].throughput_best:
             best = (candidate, batch, r)
     if best is None:
         print(json.dumps({"metric": "polymul_throughput", "value": 0,
-                          "unit": "polymuls/s/chip", "vs_baseline": 0}))
+                          "unit": "polymuls/s/chip", "vs_baseline": 0}),
+              flush=True)
         return 1
     best_algo, batch, r = best
     value = r.throughput_best          # min-time based; see timing.py
-    # the driver's contract (ONE JSON line) is satisfied before any
-    # optional diagnostics run
+    # every diagnostic (stderr) runs BEFORE the headline JSON so the JSON
+    # is the last stdout line; each block is exception-guarded so nothing
+    # here can cost the headline
+    try:
+        _diagnostics(best_algo, batch, BATCHES[0] * best[2].min_s / best[1])
+    except Exception as e:
+        _diag(f"diagnostics failed: {e}")
+    _cpu_mesh_validation()
     # honest denominators next to the estimated one: the kernel's own
     # measured in-Pallas DMA floor and estimated VPU op-count floor at this
     # shape (docs/PERF_NOTES.md round-2 correction) — vs_baseline divides by
@@ -89,113 +237,6 @@ def main() -> int:
         "vs_dma_floor_45M": round(value / 45.0e6, 3),
         "vs_op_floor_20M": round(value / 20.0e6, 3),
     }), flush=True)
-    # stderr diagnostics: algorithm comparison points + the other qTESLA
-    # sets (n = 512 / 1024 / 2048)
-    # keyed off best_algo (the config that actually succeeded), not the
-    # preferred pick — if mxu failed everywhere the diagnostics must not
-    # retry it on three more parameter sets
-    extras = []
-    if best_algo == "mxu":
-        extras.append((PARAM_SET, "fused", BATCHES[0]))
-    if best_algo != "merged":
-        extras.append((PARAM_SET, "merged", BATCHES[0]))
-    extras += [(s, best_algo, BATCHES[0]) for s in ("qtesla-i", "qtesla-p-i",
-                                                    "qtesla-p-iii")]
-    # the paper's title algorithm (reference NTT.cu:147-277) — recorded so
-    # the Nussbaumer path has a committed TPU number, not just correctness.
-    # B=512 = one lanes=batch chunk (larger batches run as chunked lax.map
-    # with batch-independent throughput — ~432k/s after the round-3
-    # lanes=batch rewrite)
-    extras.append((PARAM_SET, "nussbaumer", 512))
-    for pset, candidate, batch_d in extras:
-        try:
-            r = benchmark_polymul(pset, candidate, batch=batch_d,
-                                  iters=ITERS)
-            print(f"# {r.line()}", file=sys.stderr)
-        except Exception as e:
-            print(f"# {pset}/{candidate} failed: {e}", file=sys.stderr)
-    if best_algo == "mxu":
-        # fixed-operand workload (constant polynomial, spectrum precomputed)
-        try:
-            import jax.numpy as jnp
-            import numpy as np
-            from qtesla_tpu.models import polymul_fixed_fn
-            from qtesla_tpu.params import get_params
-            from qtesla_tpu.utils.timing import measure
-            ps = get_params(PARAM_SET)
-            rng = np.random.default_rng(0)
-            prep, mul = polymul_fixed_fn(PARAM_SET, "mxu")
-            A = prep(jnp.asarray(rng.integers(
-                0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
-            x = jnp.asarray(rng.integers(0, ps.q, (BATCHES[0], ps.n),
-                                         dtype=np.uint32))
-            r = measure(lambda _, c: mul(c, A), x, x, warmup=2, iters=ITERS,
-                        items_per_iter=BATCHES[0], chain=True,
-                        name=f"polymul_fixed[{PARAM_SET},mxu,"
-                             f"B={BATCHES[0]}]")
-            print(f"# {r.line()}", file=sys.stderr)
-            # round-3 constant-folded variant: the pointwise diagonal lives
-            # inside per-constant inverse matmul tables (no pointwise stage)
-            prep_f, mul_f = polymul_fixed_fn(PARAM_SET, "mxu-folded")
-            Af = prep_f(jnp.asarray(rng.integers(
-                0, ps.q, (1, ps.n), dtype=np.uint32)))
-            r = measure(lambda _, c: mul_f(c, Af), x, x, warmup=2,
-                        iters=ITERS, items_per_iter=BATCHES[0], chain=True,
-                        name=f"polymul_fixed[{PARAM_SET},mxu-folded,"
-                             f"B={BATCHES[0]}]")
-            print(f"# {r.line()}", file=sys.stderr)
-        except Exception as e:
-            print(f"# fixed-operand failed: {e}", file=sys.stderr)
-        # generality beyond the reference's N=4..1024 ladder: the Dilithium
-        # prime, registered at runtime, through the same flagship kernel
-        try:
-            from qtesla_tpu.params import register_param_set
-            register_param_set("dilithium-256", n=256, q=8380417)
-            r = benchmark_polymul("dilithium-256", "mxu", batch=BATCHES[0],
-                                  iters=ITERS)
-            print(f"# {r.line()}", file=sys.stderr)
-        except Exception as e:
-            print(f"# dilithium-256 failed: {e}", file=sys.stderr)
-        # SP trend (round-2 VERDICT item 4): per-chip local pipeline of the
-        # sharded four-step vs the flagship — tax = k*t_local/t_flagship
-        try:
-            from qtesla_tpu.utils.timing import benchmark_sp_local
-            t_flag = BATCHES[0] / best[2].throughput_best \
-                if best[1] == BATCHES[0] else None
-            if t_flag is None:
-                t_flag = BATCHES[0] / benchmark_polymul(
-                    PARAM_SET, "mxu", batch=BATCHES[0],
-                    iters=ITERS).throughput_best
-            for k in (2, 4, 8):
-                r, _ = benchmark_sp_local(PARAM_SET, k, batch=BATCHES[0],
-                                          iters=ITERS)
-                tax = k * r.min_s / t_flag
-                norm = BATCHES[0] / (k * r.min_s)
-                print(f"# {r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
-                      f"{norm / 1e6:.2f} M/s", file=sys.stderr)
-        except Exception as e:
-            print(f"# sp_local failed: {e}", file=sys.stderr)
-    # CPU-mesh DP/SP relative throughput (scaling artifact; virtual
-    # devices — validates the code path and records the ratio trend, not
-    # real ICI scaling)
-    try:
-        import subprocess
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
-        cp = subprocess.run(
-            [sys.executable, "-m", "qtesla_tpu.cli", "scaling",
-             "--param-set", "qtesla-iii-speed", "--batch-per-device",
-             "512", "--iters", "3", "--model", "4", "--json"],
-            capture_output=True, text=True, timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        tail = [ln for ln in cp.stdout.strip().splitlines() if ln]
-        if cp.returncode == 0 and tail:
-            print(f"# cpu-mesh scaling: {tail[-1]}", file=sys.stderr)
-        else:
-            print(f"# cpu-mesh scaling failed: rc={cp.returncode} "
-                  f"{cp.stderr[-200:]}", file=sys.stderr)
-    except Exception as e:
-        print(f"# cpu-mesh scaling failed: {e}", file=sys.stderr)
     return 0
 
 

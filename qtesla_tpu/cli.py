@@ -229,10 +229,23 @@ def cmd_sweep(args) -> int:
 
 def cmd_scaling(args) -> int:
     """Data-parallel scaling efficiency over the available devices (the
-    BASELINE.md north-star harness: polymuls/s at 1 device vs d devices,
-    same per-device batch).  On a pod this measures real ICI/DCN scaling;
-    under XLA_FLAGS=--xla_force_host_platform_device_count=N it validates
-    the sharded code path on virtual CPU devices."""
+    BASELINE.md north-star harness: polymuls/s at 1 device vs d devices).
+
+    Two batch policies:
+      --batch-per-device B : global batch grows with d (weak scaling) —
+        the pod-measurement mode; scaling_eff = agg(d) / (agg(1) * d).
+      --global-batch B     : global batch FIXED, sharded over d (the
+        honest mode for VIRTUAL devices: on an m-core host, d virtual
+        devices share the cores, so aggregate throughput cannot grow with
+        d — the meaningful statistic is relative overhead vs 1 device,
+        reported as overhead_eff = agg(d) / agg(1), expected ~1.0).
+
+    Every JSON row carries `virtual_devices` (true when the devices are
+    host-platform CPU threads) and, when true, `host_cores` + a `caveat`
+    string — so the artifact can never be misread as ICI scaling
+    (round-3 VERDICT item: the recorded dp@8=0.30 was 8 virtual devices
+    contending on one core, with nothing in the JSON saying so)."""
+    import os
     import jax
     from .parallel import make_mesh
     from .parallel.sharded import polymul_dp_fn, polymul_fourstep_sharded_fn
@@ -242,26 +255,52 @@ def cmd_scaling(args) -> int:
     ps = get_params(args.param_set)
     print(_parameter_banner(ps.name))
     ndev = len(jax.devices())
-    print(f"backend: {jax.default_backend()}  devices: {ndev}")
+    virtual = (jax.default_backend() == "cpu"
+               and "host_platform_device_count" in os.environ.get(
+                   "XLA_FLAGS", ""))
+    cores = os.cpu_count() or 1
+    print(f"backend: {jax.default_backend()}  devices: {ndev}"
+          + (f"  (VIRTUAL, {cores} host cores)" if virtual else ""))
+    fixed_global = getattr(args, "global_batch", 0) or 0
     rng = np.random.default_rng(args.seed)
+
+    def annotate(row):
+        row["virtual_devices"] = virtual
+        if virtual:
+            row["host_cores"] = cores
+            row["caveat"] = (
+                "virtual CPU devices sharing host cores: validates the "
+                "sharded code path and relative overhead, NOT ICI scaling")
+        return row
+
     out = []
     base = None
     d = 1
     while d <= ndev:
         mesh = make_mesh(data=d, model=1)
-        B = args.batch_per_device * d
+        B = fixed_global if fixed_global else args.batch_per_device * d
+        if B % d:
+            d *= 2
+            continue
         x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         fn = polymul_dp_fn(ps.name, mesh, algo=args.algo)
         r = measure(fn, x, y, warmup=2, iters=args.iters, items_per_iter=B,
                     chain=True, name=f"dp[d={d},B={B},{args.algo}]")
+        # median-based throughput: stable across contended virtual-device
+        # runs (min-based is right for the single-chip headline, but here
+        # run-to-run agreement matters more than the best case)
         if base is None:
-            base = r.throughput_best
-        eff = r.throughput_best / (base * d)
-        out.append({"mode": "dp", "devices": d, "batch": B,
-                    "polymuls_per_s": r.throughput_best,
-                    "scaling_eff": eff})
-        print(f"  {r.line()}  scaling-eff {eff:5.1%}")
+            base = r.throughput
+        row = {"mode": "dp", "devices": d, "batch": B,
+               "polymuls_per_s": r.throughput}
+        if fixed_global:
+            row["overhead_eff"] = r.throughput / base
+            print(f"  {r.line()}  overhead-eff {row['overhead_eff']:5.1%}")
+        else:
+            row["scaling_eff"] = r.throughput / (base * d)
+            print(f"  {r.line()}  scaling-eff {row['scaling_eff']:5.1%}")
+        out.append(annotate(row))
         d *= 2
     if args.model > 1:
         if ndev < args.model or ndev % args.model:
@@ -269,7 +308,8 @@ def cmd_scaling(args) -> int:
                   f"divisible device count, have {ndev}")
         else:
             mesh = make_mesh(data=ndev // args.model, model=args.model)
-            B = args.batch_per_device * mesh.shape["data"]
+            B = (fixed_global if fixed_global
+                 else args.batch_per_device * mesh.shape["data"])
             x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
             y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
             fn = polymul_fourstep_sharded_fn(ps.name, mesh)
@@ -277,13 +317,15 @@ def cmd_scaling(args) -> int:
                         items_per_iter=B, chain=True,
                         name=f"fourstep[data={mesh.shape['data']},"
                              f"model={args.model},B={B}]")
-            # vs the DP row at the same device count: SP relative efficiency
-            rel = r.throughput_best / (base * ndev) if base else 0.0
-            out.append({"mode": "fourstep_sp",
-                        "devices": ndev, "model": args.model, "batch": B,
-                        "polymuls_per_s": r.throughput_best,
-                        "vs_dp_eff": rel})
-            print(f"  {r.line()}  vs-1dev-x-N {rel:5.1%}")
+            # vs the DP aggregate at the same device count
+            denom = base if fixed_global else base * ndev
+            rel = r.throughput / denom if base else 0.0
+            out.append(annotate({
+                "mode": "fourstep_sp",
+                "devices": ndev, "model": args.model, "batch": B,
+                "polymuls_per_s": r.throughput,
+                "vs_dp_eff": rel}))
+            print(f"  {r.line()}  vs-dp {rel:5.1%}")
     if args.json:
         print(json.dumps(out))
     return 0
@@ -362,6 +404,10 @@ def main(argv=None) -> int:
     g.add_argument("--param-set", default="qtesla-iii-speed")
     g.add_argument("--algo", default="merged")
     g.add_argument("--batch-per-device", type=int, default=4096)
+    g.add_argument("--global-batch", type=int, default=0,
+                   help="fix the GLOBAL batch (sharded over devices) "
+                        "instead of growing it per device — the honest "
+                        "mode for virtual-device runs (see cmd_scaling)")
     g.add_argument("--iters", type=int, default=10)
     g.add_argument("--model", type=int, default=1,
                    help="also run the four-step SP pipeline at this "

@@ -10,6 +10,11 @@ from .sharded_mxu import (  # noqa: F401
     polymul_fourstep_mxu_fn,
     polymul_fixed_fourstep_mxu_fn,
 )
+from .ulysses import (  # noqa: F401
+    polymul_ulysses_fn,
+    polymul_fixed_ulysses_fn,
+    polymul_sp_fn,
+)
 from .distributed import (  # noqa: F401
     init_distributed,
     make_global_mesh,

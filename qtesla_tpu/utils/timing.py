@@ -18,7 +18,8 @@ import jax
 
 __all__ = ["BenchResult", "measure", "measure_streamed",
            "benchmark_polymul", "benchmark_polymul_streamed",
-           "benchmark_reduction", "benchmark_sp_local"]
+           "benchmark_reduction", "benchmark_sp_local",
+           "benchmark_ulysses_local", "benchmark_sp_local_fixed"]
 
 
 @dataclasses.dataclass
@@ -250,6 +251,85 @@ def benchmark_sp_local(param_set: str, k: int, batch: int = 16384,
     r = measure(pipe, x, y, warmup=warmup, iters=iters, chain=True,
                 items_per_iter=batch,
                 name=f"sp_local[{param_set},k={k},B={batch}]")
+    return r, plans
+
+
+def benchmark_ulysses_local(param_set: str, k: int, batch: int = 16384,
+                            iters: int = 400, warmup: int = 2,
+                            seed: int = 0) -> BenchResult:
+    """Per-chip LOCAL compute of the Ulysses SP path: the unmodified
+    flagship kernel at batch/k (each chip runs the full-width pipeline on
+    its transposed row shard; parallel/ulysses.py).  The tax metric is
+    k * t_local / t_flagship — for Ulysses this is purely the kernel's
+    sub-batch efficiency, since no segment kernels exist."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..models import polymul_fn
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    if batch % k:
+        raise ValueError(f"batch {batch} must divide by k={k}")
+    import jax
+    algo = "mxu" if jax.default_backend() == "tpu" else "merged"
+    fn = polymul_fn(param_set, algo)
+    rng = np.random.default_rng(seed)
+    Bl = batch // k
+    x = jnp.asarray(rng.integers(0, ps.q, (Bl, ps.n), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (Bl, ps.n), dtype=np.uint32))
+    return measure(fn, x, y, warmup=warmup, iters=iters, chain=True,
+                   items_per_iter=Bl,
+                   name=f"ulysses_local[{param_set},k={k},B={batch}]")
+
+
+def benchmark_sp_local_fixed(param_set: str, k: int, batch: int = 16384,
+                             iters: int = 400, warmup: int = 2,
+                             seed: int = 0, n1: int | None = None):
+    """Per-chip LOCAL pipeline of the FIXED-OPERAND four-step SP path
+    (one forward + one inverse, the constant spectrum resident): seg1 on
+    x only, seg2-fixed, seg3 — the serving shape's SP surface
+    (parallel/sharded_mxu.polymul_fixed_fourstep_mxu_fn's local compute;
+    reference anchor NTT.cu:1155-1160 pointwise with a constant operand).
+    Returns (BenchResult, plans)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ..parallel.sharded_mxu import (_default_tile, _make_seg1,
+                                        _make_seg2_fixed, _make_seg3,
+                                        fourstep_mxu_plans)
+    from ..ops.tables import get_tables
+
+    tbl = get_tables(param_set)
+    if n1 is None:
+        n1 = 1 << (tbl.logn // 2)
+    plans = fourstep_mxu_plans(param_set, n1, k)
+    tb = _default_tile(plans.nloc)
+    seg1 = _make_seg1(plans, tb, False)
+    seg2f = _make_seg2_fixed(plans, tb, False)
+    seg3 = _make_seg3(plans, tb, False)
+    d = min(1, k - 1)
+    t1 = (jnp.asarray(plans.p1.W[d:d + 1]),
+          jnp.asarray(plans.p1.const[d:d + 1]))
+    t2 = (jnp.asarray(plans.p2f.W), jnp.asarray(plans.p2f.const),
+          jnp.asarray(plans.p2i.W[d:d + 1]),
+          jnp.asarray(plans.p2i.const[d:d + 1]))
+    t3 = (jnp.asarray(plans.p3.W[d:d + 1]),
+          jnp.asarray(plans.p3.const[d:d + 1]))
+
+    @jax.jit
+    def pipe(aspec, x):
+        vx = seg1(x, *t1)
+        w = seg2f(vx, aspec, *t2)
+        return seg3(w, *t3)
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, tbl.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    aspec = jnp.asarray(rng.integers(0, tbl.q, (1, plans.nloc),
+                                     dtype=np.uint32))
+    r = measure(lambda a, c: pipe(a, c), aspec, x, warmup=warmup,
+                iters=iters, chain=True, items_per_iter=batch,
+                name=f"sp_local_fixed[{param_set},k={k},B={batch}]")
     return r, plans
 
 

@@ -88,6 +88,23 @@ def test_scaling_dp(capsys):
     assert "scaling-eff" in out
     rows = json.loads(out.strip().splitlines()[-1])
     assert rows[0]["mode"] == "dp" and rows[0]["scaling_eff"] == 1.0
+    # virtual CPU devices must be labelled as such in the artifact
+    assert rows[0]["virtual_devices"] is True
+    assert "caveat" in rows[0] and "NOT ICI scaling" in rows[0]["caveat"]
+
+
+def test_scaling_fixed_global_batch(capsys):
+    """--global-batch: batch fixed and sharded; rows report overhead_eff
+    (relative aggregate throughput vs 1 device) instead of scaling_eff."""
+    import json
+    assert cli.main(["scaling", "--param-set", "smallprime",
+                     "--global-batch", "64", "--iters", "2",
+                     "--json"]) == 0
+    out = capsys.readouterr().out
+    rows = json.loads(out.strip().splitlines()[-1])
+    assert rows[0]["batch"] == 64 and rows[-1]["batch"] == 64
+    assert rows[0]["overhead_eff"] == 1.0
+    assert all("scaling_eff" not in r for r in rows)
 
 
 def test_microbench(capsys):
