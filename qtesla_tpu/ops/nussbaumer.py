@@ -202,10 +202,89 @@ def _base_negacyclic(X, Y, r: int, A):
     return acc
 
 
-def _nussbaumer(x, y, A):
+def _acyclic_schoolbook(X, Y, h: int, A):
+    """Plain (acyclic) product of length-h row polynomials on (R, h, B)
+    state -> (R, 2h-1, B): h row multiplies, accumulated with static
+    slice/concat assembly (no zero padding, no gathers)."""
+    acc = A.mul(X[:, 0:1, :], Y)                       # width h
+    for j in range(1, h):
+        prod = A.mul(X[:, j:j + 1, :], Y)
+        # acc width h+j-1; overlap acc[:, j:] with prod[:, :h-1]
+        acc = jnp.concatenate(
+            [acc[:, :j], A.add(acc[:, j:], prod[:, :h - 1]),
+             prod[:, h - 1:]], axis=1)
+    return acc
+
+
+_KARATSUBA_CUTOFF = 8   # schoolbook below this width (A/B'd on device)
+
+
+def _acyclic(X, Y, h: int, A, cutoff: int | None = None):
+    """Acyclic product with Karatsuba recursion: 3 half-length products
+    (low, high, (lo+hi)x(lo+hi)) + slice/concat assembly — 3/4 the row
+    multiplies per level, down to the schoolbook cutoff."""
+    if cutoff is None:
+        cutoff = _KARATSUBA_CUTOFF
+    if h <= cutoff or h % 2:
+        return _acyclic_schoolbook(X, Y, h, A)
+    g = h // 2
+    X0, X1 = X[:, :g], X[:, g:]
+    Y0, Y1 = Y[:, :g], Y[:, g:]
+    P0 = _acyclic(X0, Y0, g, A, cutoff)                # width 2g-1
+    P1 = _acyclic(X1, Y1, g, A, cutoff)
+    Pm = _acyclic(A.add(X0, X1), A.add(Y0, Y1), g, A, cutoff)
+    Mm = A.sub(A.sub(Pm, P0), P1)                      # middle, width 2g-1
+    # result[t] = P0[t] + Mm[t-g] + P1[t-2g], width 2h-1 = 4g-1:
+    #   [0, g)        P0 low half
+    #   [g, 2g-1)     P0 high + Mm low
+    #   {2g-1}        Mm[g-1]                (P0/P1 have no 2g-1 term)
+    #   [2g, 3g-1)    Mm high + P1 low
+    #   [3g-1, 4g-1)  P1 high
+    return jnp.concatenate(
+        [P0[:, :g],
+         A.add(P0[:, g:], Mm[:, :g - 1]),
+         Mm[:, g - 1:g],
+         A.add(Mm[:, g:], P1[:, :g - 1]),
+         P1[:, g - 1:]], axis=1)
+
+
+def _base_negacyclic_karatsuba(X, Y, r: int, A):
+    """Negacyclic r-point base products via one negacyclic Karatsuba split
+    (X = X0 + w^h X1, h = r/2; w^r = -1) over acyclic Karatsuba products:
+
+        Z = (X0Y0 - X1Y1) + w^h ((X0+X1)(Y0+Y1) - X0Y0 - X1Y1)
+
+    with the w^h overflow (positions >= r) wrapping negacyclically.  Row
+    multiplies: 27 at r=32 (3 acyclic 16-products, each 3x schoolbook-8)
+    vs the plain schoolbook's 32 — and each is half/quarter width, so the
+    scalar multiply count is 9/16 of schoolbook (the multiplies are the
+    expensive op: a full Barrett mod-q mul is ~15 VPU ops vs ~3 for
+    add/sub).  The extra adds are assembly slices, all static."""
+    h = r // 2
+    X0, X1 = X[:, :h], X[:, h:]
+    Y0, Y1 = Y[:, :h], Y[:, h:]
+    P0 = _acyclic(X0, Y0, h, A)                        # width 2h-1 = r-1
+    P1 = _acyclic(X1, Y1, h, A)
+    Pm = _acyclic(A.add(X0, X1), A.add(Y0, Y1), h, A)
+    Aa = A.sub(P0, P1)                                 # w^0 part
+    Mm = A.sub(A.sub(Pm, P0), P1)                      # w^h part
+    # Z[j]     = Aa[j] - Mm[h+j]   j in [0, h-1)   (w^(h+t), t>=h wraps -)
+    # Z[h-1]   = Aa[h-1]
+    # Z[h+j]   = Aa[h+j] + Mm[j]  j in [0, h-1)
+    # Z[2h-1]  = Mm[h-1]
+    return jnp.concatenate(
+        [A.sub(Aa[:, :h - 1], Mm[:, h:]),
+         Aa[:, h - 1:h],
+         A.add(Aa[:, h:], Mm[:, :h - 1]),
+         Mm[:, h - 1:h]], axis=1)
+
+
+def _nussbaumer(x, y, A, base: str = "karatsuba"):
     """Generic negacyclic product over the coefficient arithmetic A.
     x, y: (..., n); internally (2m, r, B) with the flattened batch in
-    lanes."""
+    lanes.  `base` selects the base-product algorithm: 'karatsuba'
+    (negacyclic split + recursive acyclic Karatsuba, 9/16 the multiplies)
+    or 'schoolbook' (the reference-shaped r^2 loop, NTT.cu:147-165)."""
     n = x.shape[-1]
     m, r, fwd, inv = nussbaumer_plan(n)
     batch = x.shape[:-1]
@@ -222,7 +301,10 @@ def _nussbaumer(x, y, A):
     for groups in fwd:
         X = _fwd_level(X, groups, r, A)
         Y = _fwd_level(Y, groups, r, A)
-    Z = _base_negacyclic(X, Y, r, A)
+    if base == "karatsuba" and r % 2 == 0:
+        Z = _base_negacyclic_karatsuba(X, Y, r, A)
+    else:
+        Z = _base_negacyclic(X, Y, r, A)
     for groups in inv:
         Z = _inv_level(Z, groups, r, A)
     P = Z[:m]                           # Z_i
@@ -234,22 +316,22 @@ def _nussbaumer(x, y, A):
     return jnp.transpose(zm, (2, 1, 0)).reshape(*batch, n)
 
 
-def nussbaumer_negacyclic_ring(x, y):
+def nussbaumer_negacyclic_ring(x, y, base: str = "karatsuba"):
     """Negacyclic product of uint32 vectors over Z_{2^32-1}.
 
     x, y: (..., n) uint32 ring representatives; returns (..., n) normalized
     representatives of (x * y mod (X^n + 1)) mod (2^32 - 1)."""
-    return ring_normalize(_nussbaumer(x, y, _RING_ARITH))
+    return ring_normalize(_nussbaumer(x, y, _RING_ARITH, base))
 
 
-def nussbaumer_negacyclic_modq(x, y, ps):
+def nussbaumer_negacyclic_modq(x, y, ps, base: str = "karatsuba"):
     """Negacyclic product over Z_q via the Nussbaumer recursion — exact for
     ALL canonical operands (no coefficient-magnitude restriction): every
     butterfly and base product is carried out mod q.  The reference's
     Z_{2^32-1} path (NTT.cu:147-277) is wrong-silent outside its domain;
     this variant removes the domain entirely."""
     A = _modq_arith(ps.q, ps.r32, ps.r32_shoup, ps.one_shoup)
-    return _nussbaumer(x, y, A)
+    return _nussbaumer(x, y, A, base)
 
 
 def ring_exact_coeff_bound(n: int) -> int:
@@ -330,12 +412,12 @@ def polymul_nussbaumer_fn(name: str, max_coeff: int | None = None):
 
 
 @functools.lru_cache(maxsize=None)
-def polymul_nussbaumer_q_fn(name: str):
+def polymul_nussbaumer_q_fn(name: str, base: str = "karatsuba"):
     """Jitted negacyclic polymul via the exact mod-q Nussbaumer recursion —
     valid for ALL canonical operands (no domain restriction, unlike the
     reference's Z_{2^32-1} path and polymul_nussbaumer_fn)."""
     from ..params import get_params
     ps = get_params(name)
     return jax.jit(lambda x, y: _chunked_pairs(
-        lambda a, b: nussbaumer_negacyclic_modq(a, b, ps),
+        lambda a, b: nussbaumer_negacyclic_modq(a, b, ps, base),
         u32(x), u32(y)))

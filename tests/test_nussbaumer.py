@@ -52,7 +52,10 @@ def test_nussbaumer_ring_vs_oracle(rng, n):
         np.testing.assert_array_equal(z[b].astype(np.uint64), want)
 
 
-@pytest.mark.parametrize("name", ["qtesla-iii-speed", "qtesla-p-iii"])
+@pytest.mark.parametrize("name", [
+    "smallprime",
+    pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
+    pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
 def test_nussbaumer_vs_ntt_crosscheck(rng, name):
     """Independent-algorithm cross-check, small operands (the Nussbaumer
     exactness domain — same restriction as the reference's Z_{2^32-1} path)."""
@@ -73,6 +76,7 @@ def test_nussbaumer_via_models_api(rng):
     np.testing.assert_array_equal(z[0].astype(np.uint64), want)
 
 
+@pytest.mark.slow
 def test_nussbaumer_negative_wrap():
     """Signed recovery: products whose true coefficients are negative."""
     ps = get_params("qtesla-iii-speed")
@@ -99,8 +103,10 @@ def test_nussbaumer_ring_out_of_domain_raises():
     polymul_nussbaumer_fn("qtesla-iii-speed", max_coeff=limit)  # ok
 
 
-@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed",
-                                  "qtesla-p-iii"])
+@pytest.mark.parametrize("name", [
+    "smallprime",
+    pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
+    pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
 def test_nussbaumer_modq_full_range(rng, name):
     """The exact mod-q recursion has NO domain restriction: full-range
     random operands and adversarial all-(q-1) operands, vs big-int oracle."""
@@ -115,6 +121,7 @@ def test_nussbaumer_modq_full_range(rng, name):
         np.testing.assert_array_equal(z[b].astype(np.uint64), want)
 
 
+@pytest.mark.slow
 def test_nussbaumer_batch_chunking(rng):
     """Large batches run as a sequential lax.map over fixed chunks (the
     single-shot pipeline's intermediates crash the TPU worker at
@@ -133,3 +140,33 @@ def test_nussbaumer_batch_chunking(rng):
     whole = np.asarray(body(x, y))
     chunked = np.asarray(_chunked_pairs(body, x, y, chunk=2))
     np.testing.assert_array_equal(chunked, whole)
+
+
+def test_karatsuba_base_products_match_schoolbook(rng):
+    """The negacyclic-Karatsuba base products (9/16 the multiplies) must be
+    bit-identical to the reference-shaped schoolbook in both coefficient
+    rings (smallprime keeps it in the fast tier)."""
+    from qtesla_tpu.ops.nussbaumer import (nussbaumer_negacyclic_modq,
+                                           nussbaumer_negacyclic_ring)
+    ps = get_params("smallprime")
+    x = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
+    a = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="schoolbook"))
+    b = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="karatsuba"))
+    assert (a == b).all()
+    xr = rng.integers(0, 500, (2, 64), dtype=np.uint32)
+    yr = rng.integers(0, 500, (2, 64), dtype=np.uint32)
+    c = np.asarray(nussbaumer_negacyclic_ring(xr, yr, base="schoolbook"))
+    d = np.asarray(nussbaumer_negacyclic_ring(xr, yr, base="karatsuba"))
+    assert (c == d).all()
+
+
+@pytest.mark.slow
+def test_karatsuba_matches_schoolbook_qtesla_iii(rng):
+    from qtesla_tpu.ops.nussbaumer import nussbaumer_negacyclic_modq
+    ps = get_params("qtesla-iii-speed")
+    x = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (2, ps.n), dtype=np.uint32)
+    a = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="schoolbook"))
+    b = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="karatsuba"))
+    assert (a == b).all()
