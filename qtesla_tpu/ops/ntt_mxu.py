@@ -447,6 +447,20 @@ def _block_digit_tables(M: np.ndarray, q: int, bw: int, Din: int, Dout: int,
 # work (measured: the bw sweep in PERF_NOTES shows MACs only stop hiding
 # at bw>=256).
 _COST_SHOUP, _COST_CSUB, _COST_PLANE = 4, 2, 3
+# Penalty per digit plane BEYOND the minimal covering count among the
+# candidate splits, for kernels whose MXU dots are NOT hidden behind wide-
+# stage VPU work (the SP segment kernels: at k=8 there are no wide stages
+# at all).  Measured round 3b/4 (docs/PERF_NOTES.md round-4 entry):
+#   - SP seg3 at base-128 (Din=5 vs base-256's 4): 7-19% slower at k=4/8
+#     — the un-penalized model had ranked it cheaper by one csub;
+#   - fixed-fold plan A/B at EQUAL plane count (Din=4 both): base-128
+#     measured 1.6% FASTER (0.730 vs 0.742 ms) — its saved csub is real,
+#     so a per-base extraction surcharge is the WRONG model shape; the
+#     cost is carried by the extra plane, not the 7-bit alignment.
+# The flagship planners keep this at zero: there the dots hide (round-2
+# co_dots ablation), and the measured-neutral lazy-forward extra plane
+# (+0.7%) says so.
+_COST_PLANE_EXTRA = 4
 
 
 def _chain_csubs(bnd: int, limit: int, q: int) -> int:

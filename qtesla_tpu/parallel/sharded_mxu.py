@@ -65,7 +65,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as N
 from ..ops.ntt import _subtables
-from ..ops.ntt_mxu import (_COST_CSUB, _COST_PLANE, _COST_SHOUP,
+from ..ops.ntt_mxu import (_COST_CSUB, _COST_PLANE, _COST_PLANE_EXTRA,
+                           _COST_SHOUP,
                            _chain_csubs, _const_row, _csub, _digit_bounds,
                            _digit_planes, _fwd_matrix, _fwd_rolls,
                            _input_digit_maxima, _inv_matrix, _inv_rolls,
@@ -149,7 +150,7 @@ def _k1_position_map(sub_tbl: NttTables) -> np.ndarray:
 
 def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
                 downstream: str = "any", reduce_uncoverable: bool = True,
-                bases: tuple = (256,)):
+                bases: tuple = (256, 128)):
     """Digit-matmul tables for a stack of exact input-major mod-q matrices
     sharing ONE recombination plan (groups/bounds worst-case over the
     stack, so a single compiled kernel serves every device/tile).
@@ -157,23 +158,31 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
     `in_bound`: the operand's LAZY bound (q for canonical input); the
     digit split centers at in_bound//2 and uses the smallest covering
     plane count at the searched base, candidates costed with the shared
-    static model (_plan_cost), cheapest taken.  `bases` defaults to
-    base-256 ONLY: extending the search to base-128 (the flagship's
-    _search_split candidate) was built and MEASURED WORSE here — the
-    model picked base-128 for qtesla-iii-speed's seg3 (one recombination
-    op cheaper on paper) but the kernel ran 7-19% slower at k=4/8
-    (0.353->0.379 / 0.224->0.266 ms, 2026-08-18): the model does not
-    price the costlier non-byte-aligned base-128 plane extraction, and
-    for the p-sets base-256 won the search anyway.  Pass bases=(256, 128)
-    to re-explore.  The plan's recombination output bound is computed
-    statically (raw_bound); when `reduce_uncoverable` and no split could
-    cover it downstream, the kernel reduces to [0, 2q) before storing
-    (store_bound reflects whichever applies)."""
+    static model (_plan_cost), cheapest taken.  Because the SP segment
+    kernels have little or no wide-stage VPU work for the MXU dots to
+    hide behind (at k=8, none), candidates pay ntt_mxu._COST_PLANE_EXTRA
+    for every digit plane beyond the minimal covering count among the
+    candidates — the term the round-3b measurement demanded: the
+    un-penalized model ranked base-128 (Din=5) cheaper by one csub for
+    qtesla-iii-speed's seg3, and the kernel ran 7-19% slower at k=4/8
+    (0.353->0.379 / 0.224->0.266 ms, 2026-08-18), while the round-4
+    fixed-fold A/B at EQUAL plane count showed base-128 slightly FASTER
+    — so the penalty is per extra plane, not per base
+    (docs/PERF_NOTES.md round-4 entry).  With it, the full (256, 128)
+    search is on by default and ranks base-256 first for that seg3 case
+    (tests/test_sharded.py asserts it).  The plan's recombination output
+    bound is computed statically (raw_bound); when `reduce_uncoverable`
+    and no split could cover it downstream, the kernel reduces to
+    [0, 2q) before storing (store_bound reflects whichever applies)."""
     bw = Ms.shape[-1]
     lead = Ms.shape[:-2]
     Dout = _ndigits(q)
     off = in_bound >> 1
     indices = list(np.ndindex(*lead)) if lead else [()]
+    din_min = min((d for d in (_plane_count(in_bound, b) for b in bases)
+                   if d is not None), default=None)
+    if din_min is None:
+        raise ValueError(f"lazy bound {in_bound} uncoverable at any base")
     best = None
     for base in bases:
         din = _plane_count(in_bound, base)
@@ -194,7 +203,8 @@ def _digit_plan(Ms: np.ndarray, q: int, one_shoup: int, in_bound: int,
             continue                 # no feasible grouping at this base
         (sh, cs, ng), _ = _plan_cost(groups, bounds, q, downstream)
         cost = (_COST_SHOUP * sh + _COST_CSUB * cs
-                + (_COST_PLANE + Dout) * din, ng)
+                + (_COST_PLANE + Dout) * din
+                + _COST_PLANE_EXTRA * (din - din_min), ng)
         if best is None or cost < best[0]:
             best = (cost, base, din, W, colsums, bounds, groups)
     if best is None:
@@ -312,10 +322,16 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
     candidates.append((False, _digit_plan(K1, q, one_shoup, in_bound=q),
                        _chain_csubs(rolls.lazy_bound, q, q)))
 
+    din_floor = min(c[1].din for c in candidates)
+
     def p1_cost(p, extra_cs):
+        # same extra-plane penalty as _digit_plan: in these kernels the
+        # dots are not hidden, so the lazy split's extra plane must beat
+        # the csub chain it deletes by more than its MAC/extraction cost
         (sh, cs, ng), _ = _plan_cost(p.groups, p.bounds, q, "any")
         return (_COST_SHOUP * sh + _COST_CSUB * (cs + extra_cs)
-                + (_COST_PLANE + _ndigits(q)) * p.din, ng)
+                + (_COST_PLANE + _ndigits(q)) * p.din
+                + _COST_PLANE_EXTRA * (p.din - din_floor), ng)
 
     lazy_pick, p1, _ = min(candidates,
                            key=lambda c: p1_cost(c[1], c[2]))

@@ -155,6 +155,7 @@ def test_fourstep_mxu_sharded_fixed(data16, rng):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_mxu_other_sets(rng):
     from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
     # qtesla-iii-speed at model=8 is the config whose seg1 cost model picks
@@ -176,6 +177,7 @@ def test_fourstep_mxu_other_sets(rng):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_mxu_large_nloc(rng):
     """Configs the round-2 dense path hard-capped (_MAX_DENSE=512):
     qtesla-p-iii at model=2 has nloc=1024 and dilithium-4096 at model=2
@@ -259,3 +261,24 @@ def test_fourstep_sharded_explicit_n1(data16):
     z = np.asarray(polymul_fourstep_mxu_fn(
         ps.name, mesh, n1=64, interpret=True)(x, y))
     np.testing.assert_array_equal(z, want)
+
+
+@pytest.mark.slow
+def test_sp_digit_plan_extra_plane_penalty_picks_base256():
+    """Round-3b measured the un-penalized model's base-128 pick for
+    qtesla-iii-speed's SP plans 7-19% slower than base-256; the
+    extra-plane penalty (ntt_mxu._COST_PLANE_EXTRA, applied only in the
+    SP planners) must rank base-256 first wherever base-128 needs more
+    planes, while the flagship fixed-fold plan (equal plane count,
+    base-128 measured faster) keeps base-128."""
+    from qtesla_tpu.ops.ntt_mxu import fixed_fold_plan, get_mxu_tables
+    from qtesla_tpu.parallel.sharded_mxu import fourstep_mxu_plans
+
+    plans = fourstep_mxu_plans("qtesla-iii-speed", 32, 4)
+    # p2f's candidates differ in plane count (base-128 needs one more
+    # to cover the lazy bound): the penalty must keep base-256
+    assert plans.p2f.base == 256
+    # the flagship planners are unpenalized: the fold keeps its
+    # measured-faster base-128 (A/B 0.730 vs 0.742 ms, round 4)
+    assert fixed_fold_plan("qtesla-iii-speed").base == 128
+    assert get_mxu_tables("qtesla-iii-speed").fwd_base == 256
