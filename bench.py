@@ -122,27 +122,37 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
     except Exception as e:
         _diag(f"dilithium-256 failed: {e}")
     # SP trend (round-2 VERDICT item 4): per-chip local pipeline of the
-    # sharded four-step vs the flagship — tax = k*t_local/t_flagship
+    # sharded four-step (the B < k fallback) vs the flagship —
+    # tax = k*t_local/t_flagship
+    flag = {PARAM_SET: t_flag_best}
     try:
+        from qtesla_tpu.utils.timing import benchmark_polymul as _bp
         from qtesla_tpu.utils.timing import benchmark_sp_local
-        for k in (2, 4, 8):
-            r, _ = benchmark_sp_local(PARAM_SET, k, batch=BATCHES[0],
+        for pset, k in ((PARAM_SET, 2), (PARAM_SET, 4), (PARAM_SET, 8),
+                        ("qtesla-p-iii", 4)):
+            if pset not in flag:
+                flag[pset] = BATCHES[0] / _bp(
+                    pset, "mxu", batch=BATCHES[0],
+                    iters=ITERS).throughput_best
+            r, _ = benchmark_sp_local(pset, k, batch=BATCHES[0],
                                       iters=ITERS)
-            tax = k * r.min_s / t_flag_best
+            tax = k * r.min_s / flag[pset]
             norm = BATCHES[0] / (k * r.min_s)
             _diag(f"{r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
                   f"{norm / 1e6:.2f} M/s")
     except Exception as e:
         _diag(f"sp_local failed: {e}")
-    # Ulysses-style SP (batch<->position transpose + local flagship kernel):
-    # the default SP strategy for B >= k; local surface = the flagship at
-    # B/k, so the tax is the kernel's own sub-batch efficiency
+    # Ulysses-style SP (batch<->position transpose + local flagship kernel,
+    # parallel/ulysses.py): the default SP strategy for B >= k; local
+    # surface = the flagship at B/k, so the tax is the kernel's own
+    # sub-batch efficiency
     try:
         from qtesla_tpu.utils.timing import benchmark_ulysses_local
-        for k in (2, 4, 8):
-            r = benchmark_ulysses_local(PARAM_SET, k, batch=BATCHES[0],
+        for pset, k in ((PARAM_SET, 2), (PARAM_SET, 4), (PARAM_SET, 8),
+                        ("qtesla-p-iii", 4), ("qtesla-p-iii", 8)):
+            r = benchmark_ulysses_local(pset, k, batch=BATCHES[0],
                                         iters=ITERS)
-            tax = k * r.min_s / t_flag_best
+            tax = k * r.min_s / flag.get(pset, t_flag_best)
             norm = BATCHES[0] / (k * r.min_s)
             _diag(f"{r.line()}  SP-tax {tax:.2f}x  per-chip-norm "
                   f"{norm / 1e6:.2f} M/s")

@@ -45,6 +45,7 @@ def test_two_process_cpu_cluster():
         assert f"DIST OK pid={i}" in out, f"worker {i} output:\n{out}"
 
 
+@pytest.mark.slow
 def test_worker_death_detected_fail_fast():
     """Fault injection (SURVEY.md §5 failure-detection row): one worker
     joins the cluster then dies silently; the survivor's fail-fast

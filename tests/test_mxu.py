@@ -14,8 +14,11 @@ from qtesla_tpu.ops.ntt_mxu import (get_mxu_tables, intt_mxu_fn, ntt_mxu_fn,
 from qtesla_tpu.ops.tables import get_tables
 from qtesla_tpu.params import get_params
 
-SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed", "qtesla-p-i",
-        "qtesla-p-iii"]
+# default tier: the p-sets (n=1024/2048, D=4 digit tables) dominate the
+# interpret-mode runtime; they run in the slow tier (pytest -m slow)
+SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed",
+        pytest.param("qtesla-p-i", marks=pytest.mark.slow),
+        pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
 
 
 @pytest.mark.parametrize("name", SETS)
@@ -176,7 +179,13 @@ def test_mxu_dp_shard_map_interpret(rng):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("name", ["smallprime", "qtesla-i",
+                                  pytest.param("qtesla-iii-speed",
+                                               marks=pytest.mark.slow),
+                                  pytest.param("qtesla-p-i",
+                                               marks=pytest.mark.slow),
+                                  pytest.param("qtesla-p-iii",
+                                               marks=pytest.mark.slow)])
 def test_mxu_fixed_folded_bit_exact(rng, name):
     """Constant-folded fixed-operand kernel: the constant's pointwise
     diagonal is folded into per-constant inverse matmul tables

@@ -14,8 +14,10 @@ from qtesla_tpu.ops.ntt_pallas import (intt_fused_fn, ntt_fused_fn,
 from qtesla_tpu.ops.tables import get_tables
 from qtesla_tpu.params import get_params
 
-SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed", "qtesla-p-i",
-        "qtesla-p-iii"]
+SETS = ["smallprime", "qtesla-iii-speed",
+        pytest.param("qtesla-i", marks=pytest.mark.slow),
+        pytest.param("qtesla-p-i", marks=pytest.mark.slow),
+        pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
 
 
 @pytest.mark.parametrize("name", SETS)

@@ -81,6 +81,7 @@ def test_unknown_algo_raises():
         polymul_negacyclic(x, x, ps, algo="does-not-exist")
 
 
+@pytest.mark.slow
 def test_differential_fuzz_vs_native_oracle(rng):
     """Differential fuzz: random (param set, algorithm, batch, operand
     distribution) configurations against the native C++ schoolbook oracle

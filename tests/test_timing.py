@@ -1,6 +1,7 @@
 """Timing-harness regression tests (CPU)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def test_measure_chain_and_throughput():
     assert r.throughput_best >= r.throughput > 0
 
 
+@pytest.mark.slow
 def test_measure_trace_dir(tmp_path):
     """--trace-dir path: profile written, steady-state only (post-compile)."""
     x = jnp.ones((4, 8), jnp.uint32)
