@@ -9,6 +9,7 @@ from .sharded import (  # noqa: F401
 from .sharded_mxu import (  # noqa: F401
     polymul_fourstep_mxu_fn,
     polymul_fixed_fourstep_mxu_fn,
+    polymul_fixed_folded_fourstep_mxu_fn,
 )
 from .ulysses import (  # noqa: F401
     polymul_ulysses_fn,

@@ -333,6 +333,56 @@ def benchmark_sp_local_fixed(param_set: str, k: int, batch: int = 16384,
     return r, plans
 
 
+def benchmark_sp_local_fixed_folded(param_set: str, k: int,
+                                    batch: int = 16384, iters: int = 400,
+                                    warmup: int = 2, seed: int = 0,
+                                    n1: int | None = None):
+    """Per-chip LOCAL pipeline of the round-4 FOLDED fixed-operand SP path
+    (sharded_mxu.polymul_fixed_folded_fourstep_mxu_fn's local compute):
+    seg1 -> ONE folded segment-2 matmul -> seg3x — one digit-split round
+    fewer than benchmark_sp_local_fixed's pipeline.  Returns
+    (BenchResult, plans)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ..parallel.sharded_mxu import (_default_tile, _make_seg1,
+                                        _make_seg2_folded, _make_seg3,
+                                        fourstep_fold_tables,
+                                        fourstep_mxu_plans)
+    from ..ops.tables import get_tables
+
+    tbl = get_tables(param_set)
+    if n1 is None:
+        n1 = 1 << (tbl.logn // 2)
+    plans = fourstep_mxu_plans(param_set, n1, k)
+    tb = _default_tile(plans.nloc)
+    seg1 = _make_seg1(plans, tb, False)
+    seg2x = _make_seg2_folded(plans, tb, False)
+    seg3x = _make_seg3(plans, tb, False, plan=plans.p3x)
+    rng = np.random.default_rng(seed)
+    spec = rng.integers(0, tbl.q, (plans.k, plans.nloc), dtype=np.uint32)
+    Wf, cf = fourstep_fold_tables(plans, spec)
+    d = min(1, k - 1)
+    t1 = (jnp.asarray(plans.p1.W[d:d + 1]),
+          jnp.asarray(plans.p1.const[d:d + 1]))
+    t2 = (jnp.asarray(Wf[d:d + 1]), jnp.asarray(cf[d:d + 1]))
+    t3 = (jnp.asarray(plans.p3x.W[d:d + 1]),
+          jnp.asarray(plans.p3x.const[d:d + 1]))
+
+    @jax.jit
+    def pipe(x):
+        vx = seg1(x, *t1)
+        w = seg2x(vx, *t2)
+        return seg3x(w, *t3)
+
+    x = jnp.asarray(rng.integers(0, tbl.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    r = measure(lambda c: pipe(c), x, warmup=warmup, iters=iters,
+                chain=True, items_per_iter=batch,
+                name=f"sp_local_fixed_folded[{param_set},k={k},B={batch}]")
+    return r, plans
+
+
 def benchmark_reduction(param_set: str, op: str = "shoup",
                         size: int = 1 << 22, iters: int = 50,
                         seed: int = 0) -> BenchResult:

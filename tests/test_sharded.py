@@ -155,6 +155,45 @@ def test_fourstep_mxu_sharded_fixed(data16, rng):
 
 
 @needs8
+def test_fourstep_mxu_sharded_fixed_folded(data16, rng):
+    """Round-4 folded fixed path: the constant's pointwise diagonal folded
+    into ONE per-(device, block) segment-2 matmul (plan p2x) — bit-exact
+    vs the merged single-chip pipeline and the unfolded fixed path."""
+    from qtesla_tpu.parallel.sharded_mxu import (
+        polymul_fixed_folded_fourstep_mxu_fn)
+    ps, x, _, _ = data16
+    mesh = make_mesh(data=2, model=4)
+    a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+    prep, mul = polymul_fixed_folded_fourstep_mxu_fn(ps.name, mesh,
+                                                     interpret=True)
+    z = np.asarray(mul(x, *prep(a)))
+    want = np.asarray(polymul_negacyclic(
+        x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+    np.testing.assert_array_equal(z, want)
+
+
+@needs8
+@pytest.mark.slow
+def test_fourstep_mxu_folded_fixed_other_sets(rng):
+    """Folded fixed path on a 30-bit-q set at model=8 (no wide stages —
+    the pure 3-matmul pipeline) and q-iii at model=8."""
+    from qtesla_tpu.parallel.sharded_mxu import (
+        polymul_fixed_folded_fourstep_mxu_fn)
+    for name, mesh in [("qtesla-iii-speed", make_mesh(data=1, model=8)),
+                       ("qtesla-p-i", make_mesh(data=1, model=8))]:
+        ps = get_params(name)
+        B = 2 * mesh.shape["data"]
+        x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
+        a = rng.integers(0, ps.q, (ps.n,), dtype=np.uint32)
+        prep, mul = polymul_fixed_folded_fourstep_mxu_fn(ps.name, mesh,
+                                                         interpret=True)
+        z = np.asarray(mul(x, *prep(a)))
+        want = np.asarray(polymul_negacyclic(
+            x, np.broadcast_to(a, x.shape), ps, algo="merged"))
+        np.testing.assert_array_equal(z, want)
+
+
+@needs8
 @pytest.mark.slow
 def test_fourstep_mxu_other_sets(rng):
     from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
