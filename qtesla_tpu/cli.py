@@ -97,8 +97,11 @@ def cmd_correctness(args) -> int:
         print(f"  {algo:10s} vs {oracle_name}: "
               f"{'Identical.' if ok else 'INCORRECT RESULT'}")
     # known-answer fixture per requested algorithm (reference NTT.cu:1822:
-    # all-ones operands whose negacyclic square has a closed form)
-    ones = np.ones((1, ps.n), dtype=np.uint32)
+    # all-ones operands whose negacyclic square has a closed form).  Same
+    # batch shape as the random check so each pipeline's jit executable is
+    # REUSED — on the TPU tunnel a fresh compile costs 20-40 s per algo,
+    # which used to double this command's wall time.
+    ones = np.ones((args.batch, ps.n), dtype=np.uint32)
     want1 = all_ones_square_closed_form(ps)
     for algo in _algos(args.algo):
         z1 = np.asarray(polymul_negacyclic(ones, ones, ps, algo=algo))

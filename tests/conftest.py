@@ -31,6 +31,14 @@ import jax  # noqa: E402
 if not _TPU_LANE:
     # sitecustomize may already have imported jax, making env vars too late
     jax.config.update("jax_platforms", "cpu")
+    # ... including XLA_FLAGS: sitecustomize's import initializes the XLA
+    # runtime, so the device-count flag above is silently ignored and a
+    # bare `pytest tests/` used to run with ONE cpu device, skipping all
+    # 26 mesh tests (needs8).  jax_num_cpu_devices works post-import.
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass                 # older jax: XLA_FLAGS (above) handles it
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

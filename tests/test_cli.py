@@ -79,6 +79,7 @@ def test_speed_fixed_streamed_json(capsys):
     assert row["min_ms_per_iter"] > 0
 
 
+@pytest.mark.slow
 def test_scaling_dp(capsys):
     import json
     assert cli.main(["scaling", "--param-set", "smallprime",

@@ -15,10 +15,18 @@ from qtesla_tpu.ops.tables import get_tables
 from qtesla_tpu.params import get_params
 
 # default tier: the p-sets (n=1024/2048, D=4 digit tables) dominate the
-# interpret-mode runtime; they run in the slow tier (pytest -m slow)
+# interpret-mode runtime; they run in the slow tier (pytest -m slow).
+# SETS keeps qtesla-iii-speed in the fast tier (the flagship config);
+# SETS_LIGHT is for the heavier per-test pipelines (fixed-operand,
+# adversarial, spectrum-compat), where q-i already exercises the same
+# code paths at half the interpret-mode cost — q-iii joins the slow tier.
 SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed",
         pytest.param("qtesla-p-i", marks=pytest.mark.slow),
         pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
+SETS_LIGHT = ["smallprime", "qtesla-i",
+              pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
+              pytest.param("qtesla-p-i", marks=pytest.mark.slow),
+              pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
 
 
 @pytest.mark.parametrize("name", SETS)
@@ -31,7 +39,7 @@ def test_mxu_polymul_bit_exact(rng, name):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("name", SETS_LIGHT)
 def test_mxu_transforms_match_merged(rng, name):
     import jax
     import jax.numpy as jnp
@@ -79,7 +87,7 @@ def test_mxu_batch_padding(rng):
         np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("name", SETS_LIGHT)
 def test_mxu_polymul_adversarial_operands(name):
     """Laziness-bound stress: operands pinned at the extremes (q-1 and 0
     patterns) maximize every intermediate magnitude in the lazy chains
@@ -96,7 +104,7 @@ def test_mxu_polymul_adversarial_operands(name):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("name", SETS_LIGHT)
 def test_mxu_polymul_fixed_operand(rng, name):
     """Fixed-operand product (precomputed spectrum for the constant side)
     matches the streamed two-operand pipeline bit-exactly."""
@@ -138,7 +146,11 @@ def test_mxu_leading_axes(rng):
     np.testing.assert_array_equal(z1, want[0, 0])
 
 
-@pytest.mark.parametrize("name", SETS)
+@pytest.mark.parametrize("name", ["smallprime",
+                                  pytest.param("qtesla-i",
+                                               marks=pytest.mark.slow),
+                                  pytest.param("qtesla-iii-speed",
+                                               marks=pytest.mark.slow)])
 def test_mxu_fixed_accepts_merged_spectrum(rng, name):
     """Mixed-algo interchangeability: a spectrum prepared with the jnp
     merged forward NTT feeds the MXU fixed-operand kernel (the docstrings
@@ -179,7 +191,9 @@ def test_mxu_dp_shard_map_interpret(rng):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", ["smallprime", "qtesla-i",
+@pytest.mark.parametrize("name", ["smallprime",
+                                  pytest.param("qtesla-i",
+                                               marks=pytest.mark.slow),
                                   pytest.param("qtesla-iii-speed",
                                                marks=pytest.mark.slow),
                                   pytest.param("qtesla-p-i",

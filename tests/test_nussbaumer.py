@@ -41,7 +41,8 @@ def test_ring_ops_vs_bigint(rng):
                                   (ao * inv2) % M)
 
 
-@pytest.mark.parametrize("n", [32, 64, 512])
+@pytest.mark.parametrize("n", [32, 64,
+                               pytest.param(512, marks=pytest.mark.slow)])
 def test_nussbaumer_ring_vs_oracle(rng, n):
     x = rng.integers(0, 100000, (2, n)).astype(np.uint32)
     y = rng.integers(0, 100000, (2, n)).astype(np.uint32)
@@ -144,16 +145,21 @@ def test_nussbaumer_batch_chunking(rng):
 
 def test_karatsuba_base_products_match_schoolbook(rng):
     """The negacyclic-Karatsuba base products (9/16 the multiplies) must be
-    bit-identical to the reference-shaped schoolbook in both coefficient
-    rings (smallprime keeps it in the fast tier)."""
-    from qtesla_tpu.ops.nussbaumer import (nussbaumer_negacyclic_modq,
-                                           nussbaumer_negacyclic_ring)
+    bit-identical to the reference-shaped schoolbook (smallprime keeps it
+    in the fast tier; the ring variant is the slow-tier twin below)."""
+    from qtesla_tpu.ops.nussbaumer import nussbaumer_negacyclic_modq
     ps = get_params("smallprime")
     x = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
     y = rng.integers(0, ps.q, (3, ps.n), dtype=np.uint32)
     a = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="schoolbook"))
     b = np.asarray(nussbaumer_negacyclic_modq(x, y, ps, base="karatsuba"))
     assert (a == b).all()
+
+
+@pytest.mark.slow
+def test_karatsuba_matches_schoolbook_ring(rng):
+    """Same A/B over the Z_{2^32-1} end-around-carry arithmetic."""
+    from qtesla_tpu.ops.nussbaumer import nussbaumer_negacyclic_ring
     xr = rng.integers(0, 500, (2, 64), dtype=np.uint32)
     yr = rng.integers(0, 500, (2, 64), dtype=np.uint32)
     c = np.asarray(nussbaumer_negacyclic_ring(xr, yr, base="schoolbook"))

@@ -46,8 +46,10 @@ def test_all_ones_closed_form_all_sets(name):
                                   all_ones_square_closed_form(ps))
 
 
-@pytest.mark.parametrize("name", ["qtesla-iii-speed", "qtesla-p-i",
-                                  "qtesla-p-iii"])
+@pytest.mark.parametrize("name", [
+    "qtesla-iii-speed",
+    pytest.param("qtesla-p-i", marks=pytest.mark.slow),
+    pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
 def test_merged_vs_stockham_cross_algorithm(rng, name):
     """Independent-algorithm cross-check on the big sets (the reference uses
     Nussbaumer-vs-NTT the same way; see test_nussbaumer.py for that one)."""

@@ -65,6 +65,7 @@ def test_fourstep_sharded_matches_local_fourstep_spectrum(data16):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_sharded_other_param_sets(rng):
     for name, mesh in [("qtesla-i", make_mesh(data=2, model=4)),
                        ("qtesla-p-iii", make_mesh(data=1, model=8))]:
@@ -140,6 +141,7 @@ def test_fourstep_mxu_sharded_bit_exact(data16):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_mxu_sharded_fixed(data16, rng):
     from qtesla_tpu.parallel.sharded_mxu import (
         polymul_fixed_fourstep_mxu_fn)
@@ -288,6 +290,7 @@ def test_fourstep_sharded_roundtrip(data16):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_sharded_explicit_n1(data16):
     """Non-default split: n1=64 (n2=16) still bit-exact through the jnp
     and MXU SP paths (the reference hardcodes N1=32, main.cuh:17)."""

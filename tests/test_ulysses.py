@@ -28,6 +28,7 @@ def test_ulysses_bit_exact(rng, data, model):
     assert (z == want).all()
 
 
+@pytest.mark.slow
 def test_ulysses_other_param_sets(rng):
     mesh = make_mesh(data=2, model=4)
     for name in ("smallprime", "qtesla-p-iii"):
@@ -40,7 +41,7 @@ def test_ulysses_other_param_sets(rng):
 def test_ulysses_ragged_batch_padded(rng):
     """B not divisible by data*model: transparently padded and sliced."""
     mesh = make_mesh(data=2, model=4)
-    ps, x, y = _data("qtesla-iii-speed", 11, rng)
+    ps, x, y = _data("smallprime", 11, rng)   # padding logic is param-independent
     z = np.asarray(polymul_ulysses_fn(ps.name, mesh)(x, y))
     want = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
     assert z.shape == (11, ps.n) and (z == want).all()
