@@ -329,6 +329,23 @@ def cmd_scaling(args) -> int:
                 "polymuls_per_s": r.throughput,
                 "vs_dp_eff": rel}))
             print(f"  {r.line()}  vs-dp {rel:5.1%}")
+            # Ulysses SP (parallel/ulysses.py): batch<->position transpose
+            # + the unmodified single-chip pipeline — the default SP
+            # strategy for B >= devices; same ICI bytes as four-step
+            if B >= ndev:
+                from .parallel import polymul_ulysses_fn
+                fnu = polymul_ulysses_fn(ps.name, mesh, local=args.algo)
+                ru = measure(fnu, x, y, warmup=2, iters=args.iters,
+                             items_per_iter=B, chain=True,
+                             name=f"ulysses[data={mesh.shape['data']},"
+                                  f"model={args.model},B={B}]")
+                relu = ru.throughput / denom if base else 0.0
+                out.append(annotate({
+                    "mode": "ulysses_sp",
+                    "devices": ndev, "model": args.model, "batch": B,
+                    "polymuls_per_s": ru.throughput,
+                    "vs_dp_eff": relu}))
+                print(f"  {ru.line()}  vs-dp {relu:5.1%}")
     if args.json:
         print(json.dumps(out))
     return 0

@@ -96,6 +96,12 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--jnp", action="store_true",
                     help="also time the round-1 jnp local path")
+    ap.add_argument("--ulysses", action="store_true",
+                    help="also time the Ulysses local surface (the "
+                         "flagship at B/k — the default SP for B >= k)")
+    ap.add_argument("--fixed", action="store_true",
+                    help="also time the fixed-operand SP locals "
+                         "(unfolded + round-4 folded)")
     args = ap.parse_args()
     from qtesla_tpu.params import get_params
     ps = get_params(args.name)
@@ -108,6 +114,25 @@ def main():
         print(f"  SP tax at k={k}: {tax:.2f}x  "
               f"(k*t_local {k * r.min_s * 1e3:.3f} ms vs flagship "
               f"{flag.min_s * 1e3:.3f} ms)", flush=True)
+        if args.ulysses:
+            from qtesla_tpu.utils.timing import benchmark_ulysses_local
+            ru = benchmark_ulysses_local(args.name, k, batch=args.batch,
+                                         iters=args.iters)
+            print(f"{ru.line()}  SP-tax {k * ru.min_s / flag.min_s:.2f}x "
+                  f" -> per-chip-normalized "
+                  f"{args.batch / (k * ru.min_s) / 1e6:.2f} M/s", flush=True)
+        if args.fixed:
+            from qtesla_tpu.utils.timing import (
+                benchmark_sp_local_fixed, benchmark_sp_local_fixed_folded)
+            rf, _ = benchmark_sp_local_fixed(args.name, k,
+                                             batch=args.batch,
+                                             iters=args.iters)
+            print(f"{rf.line()}", flush=True)
+            rx, _ = benchmark_sp_local_fixed_folded(args.name, k,
+                                                    batch=args.batch,
+                                                    iters=args.iters)
+            print(f"{rx.line()}  folded speedup "
+                  f"{rf.min_s / rx.min_s:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
