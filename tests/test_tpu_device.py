@@ -234,3 +234,19 @@ def test_sp_segment_kernels_on_device():
                            jnp.asarray(plans.p3.const[d:d + 1])))
     np.testing.assert_array_equal(
         out3.astype(object), matmod(x, M3))
+
+    # round-4 folded fixed segment 2: Mosaic-compiled seg2x must equal the
+    # exact F = K2f @ diag(A-hat) @ K2i composition (device d, lazy out)
+    spec = rng.integers(0, q, (k, nloc), dtype=np.uint32)
+    Wf, cf = SM.fourstep_fold_tables(plans, spec)
+    seg2x = SM._make_seg2_folded(plans, 256, False)
+    outx = np.asarray(seg2x(jnp.asarray(x), jnp.asarray(Wf[d:d + 1]),
+                            jnp.asarray(cf[d:d + 1])))
+    wantx = np.zeros((B, nloc), dtype=object)
+    dg = spec[d].astype(object)
+    for bb in range(plans.A):
+        ts = slice(bb * plans.TW, (bb + 1) * plans.TW)
+        F = (plans.K2f * dg[ts][None, :]) % q
+        F = (F.astype(object) @ plans.K2i[d, bb].astype(object)) % q
+        wantx[:, ts] = matmod(x[:, ts], F)
+    assert_lazy_equal(outx, wantx, plans.p2x.store_bound)
