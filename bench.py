@@ -43,7 +43,7 @@ ITERS = 400
 # prints (the round-3 failure mode, by a different route).  Diagnostics
 # run most-important-first and stop when the budget is spent — each skip
 # is a loud stderr line, and the JSON always lands.
-BUDGET_S = float(os.environ.get("QTESLA_BENCH_BUDGET_S", 620))
+BUDGET_S = float(os.environ.get("QTESLA_BENCH_BUDGET_S", 660))
 _T0 = time.monotonic()
 
 
@@ -189,6 +189,7 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         ("ulysses k=8 weak", 40, ulysses(PARAM_SET, 8, 8 * BATCHES[0])),
         ("ulysses k=8", 25, ulysses(PARAM_SET, 8)),
         ("ulysses k=4", 25, ulysses(PARAM_SET, 4)),
+        ("sp_fixed k=4", 80, sp_fixed),
         ("sp_local k=8", 65, sp_local(PARAM_SET, 8)),
         ("sp_local k=4", 65, sp_local(PARAM_SET, 4)),
         ("p-iii flagship", 90, poly("qtesla-p-iii", "mxu", BATCHES[0])),
@@ -198,7 +199,6 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         ("merged", 45, poly(PARAM_SET, "merged", BATCHES[0])),
         ("fused", 40, poly(PARAM_SET, "fused", BATCHES[0])),
         ("sp_local p-iii k=4", 90, sp_local("qtesla-p-iii", 4)),
-        ("sp_fixed k=4", 80, sp_fixed),
         ("dilithium-256", 25, dilithium),
         ("ulysses k=2", 25, ulysses(PARAM_SET, 2)),
         ("sp_local k=2", 80, sp_local(PARAM_SET, 2)),
@@ -208,7 +208,7 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         tasks = [t for t in tasks
                  if t[0] in ("nussbaumer", "merged")]
     for label, cost, run in tasks:
-        if _remaining() < cost + 30:   # keep 30 s for the JSON + mesh skip
+        if _remaining() < cost + 15:   # keep 15 s for the JSON + mesh skip
             _diag(f"skipped[{label}]: {_remaining():.0f}s left < "
                   f"{cost}s worst-case (budget {BUDGET_S:.0f}s)")
             continue
