@@ -44,13 +44,15 @@ def cmd_info(args) -> int:
 
 def _algos(arg: str) -> list[str]:
     from .models import ALGORITHMS
-    every = sorted(ALGORITHMS) + ["nussbaumer", "fused", "mxu"]
+    from .ops.ntt_pairings_pallas import PAIRINGS
+    kernels = ["fused", "mxu"] + [p + "_kernel" for p in sorted(PAIRINGS)]
+    every = sorted(ALGORITHMS) + ["nussbaumer"] + kernels
     if arg == "all":
         import jax
         if jax.default_backend() == "tpu":
             return every
         # the Pallas kernels compile only for TPU; 'all' on CPU skips them
-        return [a for a in every if a not in ("fused", "mxu")]
+        return [a for a in every if a not in kernels]
     algos = arg.split(",")
     for a in algos:
         if a not in every:

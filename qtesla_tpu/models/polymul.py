@@ -179,6 +179,14 @@ def polymul_fn(name: str, algo: str = "merged"):
         if algo == "fused":
             from ..ops.ntt_pallas import polymul_fused_fn
             return polymul_fused_fn(name)
+        if algo.endswith("_kernel"):
+            # device-kernel form of an explicit pipeline pairing
+            # (reference NTT.cu:2008-2443); bit-exact vs the XLA twin
+            from ..ops.ntt_pairings_pallas import (PAIRINGS,
+                                                   polymul_pairing_fn)
+            pairing = algo[:-len("_kernel")]
+            if pairing in PAIRINGS:
+                return polymul_pairing_fn(name, pairing)
         if algo == "mxu":
             from ..ops.ntt_mxu import polymul_mxu_fn
             return polymul_mxu_fn(name)
@@ -189,9 +197,10 @@ def polymul_fn(name: str, algo: str = "merged"):
             # polymul_nussbaumer_fn(name, max_coeff=...).
             from ..ops.nussbaumer import polymul_nussbaumer_q_fn
             return polymul_nussbaumer_q_fn(name)
+        from ..ops.ntt_pairings_pallas import PAIRINGS
         raise ValueError(
             f"unknown algorithm {algo!r}; available: "
-            f"{sorted(ALGORITHMS) + ['fused', 'mxu', 'nussbaumer']}"
+            f"{sorted(ALGORITHMS) + ['fused', 'mxu', 'nussbaumer'] + [p + '_kernel' for p in sorted(PAIRINGS)]}"
         ) from None
     return jax.jit(functools.partial(pipeline, tbl=tbl))
 
