@@ -19,6 +19,7 @@ the reference-class GPU pipeline's throughput at this n (its shipped config
 measures 2 polymuls per timed loop including PCIe transfers).
 """
 
+import functools
 import json
 import os
 import sys
@@ -248,6 +249,26 @@ def _cpu_mesh_validation() -> None:
         _diag(f"cpu-mesh scaling failed: {e}")
 
 
+@functools.lru_cache(maxsize=None)
+def _audited_projection() -> float:
+    """Polymuls/s of the headline set if every VPU lane op issued at peak
+    (one op per lane per cycle): the committed roofline model
+    (scripts/audit_ops.py, docs/PERF_NOTES.md round-3 declaration).
+    Trace-only (jax.make_jaxpr of the kernel's real building blocks), so
+    it can never drift from the shipped code.  Falls back to the audited
+    round-3 value for qtesla-iii-speed if the trace fails."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from audit_ops import phase_table
+        mt, _, (vpu, _, _) = phase_table(PARAM_SET)
+        return 3.9e12 / (mt.n * vpu)        # polymuls/s, batch-independent
+    except Exception as e:
+        _diag(f"audited projection trace failed ({e}); using the "
+              f"committed round-3 value")
+        return 14.45e6                      # = 3.9e12 / (1024 * 263.5)
+
+
 def main() -> int:
     from qtesla_tpu.utils.timing import benchmark_polymul
 
@@ -289,10 +310,15 @@ def main() -> int:
         _diag(f"diagnostics failed: {e}")
     _cpu_mesh_validation()
     # honest denominators next to the estimated one: the kernel's own
-    # measured in-Pallas DMA floor and estimated VPU op-count floor at this
-    # shape (docs/PERF_NOTES.md round-2 correction) — vs_baseline divides by
-    # an ESTIMATE (the reference publishes no numbers), these divide by
-    # measured properties of this chip
+    # measured in-Pallas DMA floor and the AUDITED per-set VPU op-issue
+    # projection (scripts/audit_ops.py traces the real kernel building
+    # blocks and counts every lane op; docs/PERF_NOTES.md round-3
+    # declaration) — vs_baseline divides by an ESTIMATE (the reference
+    # publishes no numbers), these divide by measured/derived properties
+    # of this chip and kernel.  vs_audited_projection > 1 means the VPU is
+    # dual-issuing past the one-op-per-lane-per-cycle projection; the
+    # round-2 "~20M/s op floor" constant this replaces was a stale
+    # estimate superseded by the audit (VERDICT r4 weak #1).
     print(json.dumps({
         "metric": f"negacyclic polymuls/s/chip (n=1024, q=8404993, "
                   f"batch={batch}, algo={best_algo})",
@@ -301,7 +327,8 @@ def main() -> int:
         "vs_baseline": round(value / REFERENCE_ESTIMATE, 3),
         "baseline_is_estimate": True,
         "vs_dma_floor_45M": round(value / 45.0e6, 3),
-        "vs_op_floor_20M": round(value / 20.0e6, 3),
+        "audited_op_projection_Ms": round(_audited_projection() / 1e6, 2),
+        "vs_audited_projection": round(value / _audited_projection(), 3),
     }), flush=True)
     return 0
 

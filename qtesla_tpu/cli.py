@@ -58,6 +58,14 @@ def _algos(arg: str) -> list[str]:
         if a not in every:
             raise SystemExit(f"unknown algo {a!r}; choose from "
                              f"{every} or 'all'")
+    if any(a in kernels for a in algos):
+        import jax
+        if jax.default_backend() != "tpu":
+            bad = [a for a in algos if a in kernels]
+            raise SystemExit(
+                f"algo(s) {bad} are TPU-only Pallas kernels; this backend "
+                f"is {jax.default_backend()!r} — use the jnp pipelines "
+                f"(e.g. merged/stockham) or run on TPU")
     return algos
 
 

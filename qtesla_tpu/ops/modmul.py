@@ -182,11 +182,15 @@ def fast_reduce_2q(x, q: int, one_shoup: int):
 
 
 def mulmod_barrett(x, y, q: int, r32: int, r32_shoup: int, one_shoup: int):
-    """Generic (variable x variable) mulmod for canonical x, y < q < 2^30.
+    """Generic (variable x variable) mulmod, exact for ANY uint32 x, y
+    (q < 2^30).  The flagship and pairing kernels rely on this: their
+    DIT/lazy intermediates are < 4q, not canonical.
 
-    Assemble the 64-bit product as (hi, lo), then fold:
+    Assemble the 64-bit product as (hi, lo) — widemul32 is exact for any
+    uint32 inputs — then fold:
         x*y mod q = (hi * (2^32 mod q) + lo) mod q
-    with both folds done by Shoup mulmods.  Used for the pointwise
+    with both folds done by Shoup mulmods (shoup_mulmod is exact
+    unconditionally in its variable operand).  Used for the pointwise
     (Hadamard) multiply (reference pointwise_mult, NTT.cu:1155-1160) where
     neither operand is a precomputed constant."""
     hi, lo = widemul32(x, y)

@@ -69,6 +69,7 @@ from ..ops.ntt_mxu import (_COST_CSUB, _COST_PLANE, _COST_PLANE_EXTRA,
                            _COST_SHOUP,
                            _chain_csubs, _const_row, _csub, _digit_bounds,
                            _digit_planes, _fwd_matrix, _fwd_rolls,
+                           _group_bound,
                            _input_digit_maxima, _inv_matrix, _inv_rolls,
                            _lazy_fwd_schedule, _matrix_digit_block,
                            _ndigits, _plan_cost, _plan_groups,
@@ -404,7 +405,7 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
         name=name, n=n, q=q, n1=n1, n2=n2, k=k, n1k=n1k, n2k=n2k,
         nloc=nloc, TW=TW, A=A, Bk=Bk, Lr=Lr, ps=tbl.ps, rolls=rolls,
         pw_bound=pw_bound, k1map=k1map, p1=p1, p2f=p2f, p2i=p2i, p3=p3,
-        p2x=p2x, p3x=p3x, K2f=K2f, K2i=K2i)
+        p2x=p2x, p3x=p3x, K1=K1, K2f=K2f, K2i=K2i)
 
 
 # ----------------------------------------------------------------------
@@ -874,6 +875,306 @@ def polymul_fixed_fourstep_mxu_fn(name: str, mesh: Mesh,
     one forward + one inverse local pipeline and 2 all_to_alls."""
     _, pair, _ = _build(name, mesh, n1, tile_b, interpret)
     return pair
+
+
+# ----------------------------------------------------------------------
+# Round-5 lazy-boundary experiment (VERDICT r4 item 3): ship the seg1 ->
+# seg2 all_to_all payload as the RAW int32 Horner class sums (biased to
+# uint32), deleting seg1's recombination round at the price of Dout x the
+# ICI bytes.  Design note on the "consumer skips its own split" half of
+# the round-3 sketch: it is NOT achievable — the MXU consumes int8
+# operands and the shipped class sums are ~22-bit, so the consumer must
+# re-split EACH class plane into its own balanced digits (sum_j Din_j
+# dots instead of Din).  What this path deletes is exactly one
+# recombination (1 Shoup + Horner shifts/adds + bias add per coefficient);
+# what it adds is (sum_j Din_j - Din) extra extraction+dot pipelines and
+# (Dout - 1) x 4 bytes/coeff of a2a traffic.  Built to be measured
+# (bench/probe_sp --classes), not argued.
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def class_boundary_plan(name: str, n1: int, k: int):
+    """Consumer-side plan for the class-sum seg1->seg2 boundary: per-class
+    digit splits of u_j = c_j + bounds_j in [0, 2*bounds_j] against the
+    scaled row matrices K_j = (2^{8j} * K2f) mod q, all classes' dots
+    accumulated into ONE recombination; seg1's centering const
+    (off1 * colsum(K1)) is mapped through the a2a layout and folded
+    through K2f into a per-(device, block) const row."""
+    plans = fourstep_mxu_plans(name, n1, k)
+    q, TW, A, n2 = plans.q, plans.TW, plans.A, plans.n2
+    Bk, n2k, n1k = plans.Bk, plans.n2k, plans.n1k
+    one_shoup = plans.ps.one_shoup
+    p1 = plans.p1
+    Dout = _ndigits(q)
+    cls_b = [int(b) for b in p1.bounds]       # inclusive |c_j| maxima
+    Ws, dins, bases, offs = [], [], [], []
+    bounds_m = [0] * Dout
+    for j, bj in enumerate(cls_b):
+        in_b = 2 * bj + 1
+        base = din = None
+        for cand in (256, 128):
+            d_ = _plane_count(in_b, cand)
+            if d_ is not None and (din is None or d_ < din):
+                base, din = cand, d_
+        if din is None:
+            raise ValueError(f"class bound {bj} uncoverable at any base")
+        Kj = (plans.K2f * pow(2, 8 * j, q)) % q
+        mw = np.zeros((din, Dout), dtype=np.int64)
+        Wj, _ = _matrix_digit_block(Kj, q, din, Dout, mw, in_base=base)
+        Ws.append(Wj)
+        dins.append(din)
+        bases.append(base)
+        offs.append(bj)
+        bj_bounds = _digit_bounds(
+            mw, TW, _input_digit_maxima(din, bj, in_b, base))
+        bounds_m = [a + b for a, b in zip(bounds_m, bj_bounds)]
+    groups = _plan_groups(bounds_m, q, "any")
+    raw_bound = _recombine_bound(groups, bounds_m, q)
+    bias_sum = sum(
+        _group_bound(bounds_m, j0, ln) * pow(2, 8 * j0, q)
+        for j0, ln in groups)
+    # seg1's pure centering const per producer lane, consumer-mapped:
+    # true seg1 output = sum_j 2^{8j} c_j + off1*colsum(K1); the constant
+    # term rides the boundary as a folded (const_vec @ K2f) row
+    cs1 = np.zeros((k, A, TW), dtype=object)
+    for d in range(k):
+        for t in range(A):
+            cs1[d, t] = (p1.off * plans.K1[d, t].sum(axis=0)) % q
+    R = TW // n2
+    const = np.zeros((k, A, 1, TW), dtype=np.uint32)
+    for dc in range(k):
+        for bb in range(A):
+            vec = np.zeros(TW, dtype=object)
+            for rho in range(R):
+                j1 = dc * n1k + bb * R + rho        # source j1 of this row
+                t_src, b_src = divmod(j1, Bk)
+                for j2 in range(n2):
+                    d_src, lam = divmod(j2, n2k)
+                    vec[rho * n2 + j2] = cs1[d_src, t_src,
+                                             b_src * n2k + lam]
+            row = (vec @ plans.K2f) % q
+            const[dc, bb, 0] = np.asarray(
+                [(int(v) - bias_sum) % q for v in row], dtype=np.uint32)
+    return types.SimpleNamespace(
+        Dout=Dout, cls_b=cls_b, W=[jnp.asarray(w) for w in Ws],
+        dins=tuple(dins), bases=tuple(bases), offs=tuple(offs),
+        groups=tuple(groups), bounds=tuple(bounds_m), raw_bound=raw_bound,
+        const=const, one_shoup=one_shoup)
+
+
+def _runner_w(kernel, in_w: int, out_w: int, n_in: int, tile_b: int,
+              interpret: bool):
+    """_runner variant with distinct input/output row widths (the class
+    boundary ships Dout planes per coefficient)."""
+
+    def run(*args):
+        tensors = tuple(v.reshape(-1, in_w) for v in args[:n_in])
+        tables = args[n_in:]
+        B = tensors[0].shape[0]
+        tile = min(tile_b, max(8, 1 << (B - 1).bit_length()))
+        pad = (-B) % tile
+        if pad:
+            tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
+        Bp = B + pad
+        specs = [pl.BlockSpec((tile, in_w), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * n_in
+        specs += [pl.BlockSpec(t.shape, (lambda *_, nd=t.ndim: (0,) * nd),
+                               memory_space=pltpu.VMEM) for t in tables]
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tile,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((tile, out_w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.uint32),
+            interpret=interpret,
+            **kwargs,
+        )(*tensors, *tables)
+        return out[:B] if pad else out
+
+    return run
+
+
+def _make_seg1_classes(plans, cp, tile_b, interpret):
+    """Column transform ending at RAW class sums: wide stages + digit
+    split + dots, NO recombination; class m stored biased as
+    uint32 c_m + cls_b[m] at columns [m*nloc + t*TW, ...)."""
+    p = plans.p1
+    TW, A, nloc = plans.TW, plans.A, plans.nloc
+    Dout = cp.Dout
+
+    def kernel(x_ref, w_ref, o_ref):
+        blocks = [x_ref[:, t * TW:(t + 1) * TW] for t in range(A)]
+        if plans.Lr:
+            blocks = _fwd_rolls(blocks, plans.rolls)
+        for t, blk in enumerate(blocks):
+            planes = _digit_planes(blk, p.off, p.din, p.base)
+            acc = None
+            for i in range(p.din):
+                d = lax.dot_general(planes[i], w_ref[0, t, i],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+            for m in range(Dout):
+                c = acc[:, m * TW:(m + 1) * TW]
+                o_ref[:, m * nloc + t * TW:m * nloc + (t + 1) * TW] = (
+                    c + np.int32(cp.cls_b[m])).astype(jnp.uint32)
+
+    return _runner_w(kernel, plans.nloc, Dout * plans.nloc, 1, tile_b,
+                     interpret)
+
+
+def _make_seg2_classes(plans, cp, tile_b, interpret):
+    """Row segment consuming class-sum operands: per block, each class
+    plane is split into its own balanced digits and dotted against the
+    2^{8j}-scaled shared row tables; one combined recombination, then the
+    usual pointwise + inverse row matmul."""
+    TW, A, q, nloc = plans.TW, plans.A, plans.q, plans.nloc
+    pi = plans.p2i
+    ps = plans.ps
+    Dout = cp.Dout
+
+    def kernel(*refs):
+        x_ref, y_ref = refs[0], refs[1]
+        o_ref = refs[-1]
+        wcs = refs[2:2 + Dout]
+        cK_ref = refs[2 + Dout]
+        wi_ref, ci_ref = refs[3 + Dout], refs[4 + Dout]
+
+        def fwd_block(ref, bb):
+            planes, ws = [], []
+            for j in range(Dout):
+                u = ref[:, j * nloc + bb * TW:j * nloc + (bb + 1) * TW]
+                planes += _digit_planes(u, cp.offs[j], cp.dins[j],
+                                        cp.bases[j])
+                ws += [wcs[j][i] for i in range(cp.dins[j])]
+            lazy, rb = _recombine_classes(planes, ws, cK_ref[0, bb], TW, q,
+                                          cp.one_shoup, cp.groups,
+                                          cp.bounds)
+            assert rb == cp.raw_bound, "class-boundary bound drifted"
+            return lazy
+
+        for bb in range(A):
+            X = fwd_block(x_ref, bb)
+            Y = fwd_block(y_ref, bb)
+            Z = pointwise_lazy(X, Y, q, ps, plans.pw_bound)
+            lazy = _apply_lazy(Z, _w_slices(wi_ref, (0, bb), pi.din),
+                               ci_ref[0, bb], pi)
+            if pi.needs_reduce:
+                lazy = reduce_bounded_2q(lazy, pi.raw_bound, q,
+                                         ps.one_shoup)
+            o_ref[:, bb * TW:(bb + 1) * TW] = lazy
+
+    return _runner_w(kernel, Dout * plans.nloc, plans.nloc, 2, tile_b,
+                     interpret)
+
+
+def polymul_fourstep_mxu_classes_fn(name: str, mesh: Mesh,
+                                    n1: int | None = None,
+                                    tile_b: int | None = None,
+                                    interpret: bool = False):
+    """Sharded four-step polymul with the CLASS-SUM seg1->seg2 boundary:
+    the first all_to_all carries Dout uint32 planes per coefficient
+    (biased raw class sums) instead of one recombined value.  Bit-exact
+    vs polymul_fourstep_mxu_fn; exists to measure the lazy-boundary
+    trade (VERDICT r4 item 3)."""
+    tbl = get_tables(name)
+    n = tbl.n
+    if n1 is None:
+        n1 = 1 << (tbl.logn // 2)
+    k = mesh.shape["model"]
+    plans = fourstep_mxu_plans(name, n1, k)
+    cp = class_boundary_plan(name, n1, k)
+    n2, n2k, n1k, nloc = plans.n2, plans.n2k, plans.n1k, plans.nloc
+    Dout = cp.Dout
+    tb = tile_b or _default_tile(nloc)
+    seg1c = _make_seg1_classes(plans, cp, tb, interpret)
+    seg2c = _make_seg2_classes(plans, cp, tb, interpret)
+    seg3 = _make_seg3(plans, tb, interpret)
+
+    def a2a_fwd_c(v4):     # (Bl, Dout, n1, n2k) -> (Bl, Dout, n1k, n2)
+        return lax.all_to_all(v4, "model", split_axis=2, concat_axis=3,
+                              tiled=True)
+
+    def a2a_inv(v3):       # (Bl, n1k, n2) -> (Bl, n1, n2k)
+        return lax.all_to_all(v3, "model", split_axis=2, concat_axis=1,
+                              tiled=True)
+
+    def local(xl, yl, w1, wc0, wc1, wc2, cK, wi, ci, w3, c3):
+        wcs = (wc0, wc1, wc2)[:Dout]
+        B = xl.shape[0]
+        us = []
+        for vl in (xl, yl):
+            u = seg1c(vl.reshape(B, nloc), w1)
+            u = a2a_fwd_c(u.reshape(B, Dout, plans.n1, n2k))
+            us.append(u.reshape(B, Dout * nloc))
+        w = seg2c(us[0], us[1], *wcs, cK, wi, ci)
+        w = a2a_inv(w.reshape(B, n1k, n2)).reshape(B, nloc)
+        z = seg3(w, w3, c3)
+        return z.reshape(B, plans.n1, n2k)
+
+    if Dout > 3:
+        raise ValueError("class boundary supports Dout <= 3 table slots")
+    wc_pad = list(cp.W) + [cp.W[-1]] * (3 - Dout)    # unused slots
+    coeff = P("data", None, "model")
+    model0 = P("model")
+    tabs = (jnp.asarray(plans.p1.W), *wc_pad, jnp.asarray(cp.const),
+            jnp.asarray(plans.p2i.W), jnp.asarray(plans.p2i.const),
+            jnp.asarray(plans.p3.W), jnp.asarray(plans.p3.const))
+    tab_specs = (model0, P(), P(), P(), model0, model0, model0, model0,
+                 model0)
+
+    def polymul(x, y):
+        B = x.shape[0]
+        x3 = x.reshape(B, plans.n1, n2)
+        y3 = y.reshape(B, plans.n1, n2)
+        z3 = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(coeff, coeff) + tab_specs,
+            out_specs=coeff, check_vma=False,
+        )(x3, y3, *tabs)
+        return z3.reshape(B, n)
+
+    in_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(polymul, in_shardings=(in_sh, in_sh),
+                   out_shardings=in_sh)
+
+
+def local_pipeline_classes_fn(name: str, k: int, n1: int | None = None,
+                              tile_b: int | None = None,
+                              device_index: int = 1):
+    """Single-chip benchmark surface of the class-boundary SP path (the
+    a2as excluded, exactly as local_pipeline_fn): seg1-classes on both
+    operands, seg2-classes, seg3.  Returns (jitted pipe, plans, cp)."""
+    tbl = get_tables(name)
+    if n1 is None:
+        n1 = 1 << (tbl.logn // 2)
+    plans = fourstep_mxu_plans(name, n1, k)
+    cp = class_boundary_plan(name, n1, k)
+    tb = tile_b or _default_tile(plans.nloc)
+    seg1c = _make_seg1_classes(plans, cp, tb, False)
+    seg2c = _make_seg2_classes(plans, cp, tb, False)
+    seg3 = _make_seg3(plans, tb, False)
+    d = min(device_index, k - 1)
+    w1 = jnp.asarray(plans.p1.W[d:d + 1])
+    cK = jnp.asarray(cp.const[d:d + 1])
+    wi = jnp.asarray(plans.p2i.W[d:d + 1])
+    ci = jnp.asarray(plans.p2i.const[d:d + 1])
+    w3 = jnp.asarray(plans.p3.W[d:d + 1])
+    c3 = jnp.asarray(plans.p3.const[d:d + 1])
+
+    @jax.jit
+    def pipe(x, y):
+        ux = seg1c(x, w1)
+        uy = seg1c(y, w1)
+        w = seg2c(ux, uy, *cp.W, cK, wi, ci)
+        return seg3(w, w3, c3)
+
+    return pipe, plans, cp
 
 
 def polymul_fixed_folded_fourstep_mxu_fn(name: str, mesh: Mesh,

@@ -282,6 +282,34 @@ def benchmark_ulysses_local(param_set: str, k: int, batch: int = 16384,
                    name=f"ulysses_local[{param_set},k={k},B={batch}]")
 
 
+def benchmark_sp_local_classes(param_set: str, k: int, batch: int = 16384,
+                               iters: int = 400, warmup: int = 2,
+                               seed: int = 0, n1: int | None = None):
+    """Per-chip LOCAL pipeline of the round-5 CLASS-SUM-boundary SP path
+    (sharded_mxu.local_pipeline_classes_fn): seg1 ships raw biased class
+    sums (no recombination), seg2 consumes them through per-class scaled
+    tables — the lazy-boundary experiment of VERDICT r4 item 3.  Same
+    measurement surface as benchmark_sp_local (a2as excluded); note the
+    first a2a of this path carries Dout x the bytes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..parallel.sharded_mxu import local_pipeline_classes_fn
+    from ..params import get_params
+
+    ps = get_params(param_set)
+    pipe, plans, cp = local_pipeline_classes_fn(param_set, k, n1)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(0, ps.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, ps.q, (batch, plans.nloc),
+                                 dtype=np.uint32))
+    # chain via y (the pipe output is (B, nloc) like its inputs)
+    r = measure(pipe, x, y, warmup=warmup, iters=iters, chain=True,
+                items_per_iter=batch,
+                name=f"sp_local_classes[{param_set},k={k},B={batch}]")
+    return r, plans, cp
+
+
 def benchmark_sp_local_fixed(param_set: str, k: int, batch: int = 16384,
                              iters: int = 400, warmup: int = 2,
                              seed: int = 0, n1: int | None = None):

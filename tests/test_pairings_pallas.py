@@ -73,9 +73,10 @@ def test_pairing_kernel_via_model_dispatch(rng):
     x = rng.integers(0, ps.q, (4, ps.n), dtype=np.uint32)
     y = rng.integers(0, ps.q, (4, ps.n), dtype=np.uint32)
     fn = polymul_fn("smallprime", "stockham_kernel")
-    # dispatch must hand back the pairing kernel factory product; on CPU
-    # run its interpret twin for the numeric check
-    assert fn is not None
+    # dispatch must hand back exactly the pairing kernel factory's product
+    # (both factories are lru_cached, so identity proves the routing); on
+    # CPU run its interpret twin for the numeric check
+    assert fn is polymul_pairing_fn("smallprime", "stockham")
     z = np.asarray(polymul_pairing_fn(
         "smallprime", "stockham", interpret=True)(x, y))
     want = np.asarray(polymul_negacyclic(x, y, ps, algo="stockham"))

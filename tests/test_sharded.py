@@ -141,6 +141,35 @@ def test_fourstep_mxu_sharded_bit_exact(data16):
 
 
 @needs8
+def test_fourstep_mxu_classes_boundary_bit_exact(data16):
+    """Round-5 lazy-boundary experiment: the first all_to_all ships the
+    RAW biased int32 class sums (Dout planes, no seg1 recombination) and
+    seg2 consumes them through 2^{8j}-scaled row tables — must be
+    bit-exact vs the single-device pipeline (VERDICT r4 item 3)."""
+    from qtesla_tpu.parallel.sharded_mxu import (
+        polymul_fourstep_mxu_classes_fn)
+    ps, x, y, want = data16
+    mesh = make_mesh(data=2, model=4)
+    z = np.asarray(polymul_fourstep_mxu_classes_fn(
+        ps.name, mesh, interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)
+
+
+@needs8
+@pytest.mark.slow
+def test_fourstep_mxu_classes_boundary_k8(data16):
+    """Class boundary at model=8 (no wide stages in seg1: the pure
+    split->dots->ship pipeline) stays bit-exact."""
+    from qtesla_tpu.parallel.sharded_mxu import (
+        polymul_fourstep_mxu_classes_fn)
+    ps, x, y, want = data16
+    mesh = make_mesh(data=1, model=8)
+    z = np.asarray(polymul_fourstep_mxu_classes_fn(
+        ps.name, mesh, interpret=True)(x, y))
+    np.testing.assert_array_equal(z, want)
+
+
+@needs8
 @pytest.mark.slow
 def test_fourstep_mxu_sharded_fixed(data16, rng):
     from qtesla_tpu.parallel.sharded_mxu import (
