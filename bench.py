@@ -17,6 +17,12 @@ vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 denominator is REFERENCE_ESTIMATE = 1e6 polymuls/s — a generous estimate of
 the reference-class GPU pipeline's throughput at this n (its shipped config
 measures 2 polymuls per timed loop including PCIe transfers).
+
+Methodology (round 5): chained timing runs INNER=4 real kernel calls per
+scan step and reports wall time / calls — a NOP scan step measures ~120 us
+on this backend (scripts/probe_r5b.py), so one-call-per-step chaining
+(rounds 1-4) over-charged every kernel by that fixed amount.  The
+`headline x1` stderr row keeps the old methodology for continuity.
 """
 
 import functools
@@ -36,6 +42,13 @@ BATCHES = (16384, 32768, 65536)
 # the axon tunnel's device->host readback costs ~25 ms per chained run;
 # 400 in-device iterations amortize it below 0.1 ms/iter
 ITERS = 400
+DIAG_ITERS = 200        # diagnostics: compile dominates their cost anyway
+# Round-5 methodology: a NOP scan step measures ~120 us on this backend
+# (scripts/probe_r5b.py scan_nop, size-independent), so one-call-per-step
+# chaining over-charges every kernel by that fixed amount.  INNER=4 runs 4
+# real back-to-back calls per scan step and divides by 4 — every reported
+# unit of work is an executed polymul; docs/PERF_NOTES.md round-5 entry.
+INNER = 4
 
 # Wall-clock budget for the whole run.  The axon backend does not write
 # the persistent compilation cache, so EVERY diagnostic config pays its
@@ -44,7 +57,7 @@ ITERS = 400
 # prints (the round-3 failure mode, by a different route).  Diagnostics
 # run most-important-first and stop when the budget is spent — each skip
 # is a loud stderr line, and the JSON always lands.
-BUDGET_S = float(os.environ.get("QTESLA_BENCH_BUDGET_S", 660))
+BUDGET_S = float(os.environ.get("QTESLA_BENCH_BUDGET_S", 1100))
 _T0 = time.monotonic()
 
 
@@ -78,14 +91,15 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
     stdout line)."""
     from qtesla_tpu.utils.timing import benchmark_polymul
 
-    flag = {PARAM_SET: t_flag_best}   # per-set flagship denominators
+    flag = {PARAM_SET: t_flag_best}   # per-set flagship min_s denominators
 
-    def poly(pset, algo, batch_d):
+    def poly(pset, algo, batch_d, inner=INNER):
         def run():
-            r = benchmark_polymul(pset, algo, batch=batch_d, iters=ITERS)
+            r = benchmark_polymul(pset, algo, batch=batch_d,
+                                  iters=DIAG_ITERS, inner=inner)
             _diag(r.line())
             if algo == "mxu" and batch_d == BATCHES[0]:
-                flag.setdefault(pset, BATCHES[0] / r.throughput_best)
+                flag.setdefault(pset, r.min_s)
         return run
 
     def fixed():
@@ -101,8 +115,9 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         prep, mul = polymul_fixed_fn(PARAM_SET, "mxu")
         A = prep(jnp.asarray(rng.integers(
             0, ps.q, (1, ps.n), dtype=np.uint32)))[0]
-        r = measure(lambda _, c: mul(c, A), x, x, warmup=2, iters=ITERS,
-                    items_per_iter=BATCHES[0], chain=True,
+        r = measure(lambda _, c: mul(c, A), x, x, warmup=2,
+                    iters=DIAG_ITERS, items_per_iter=BATCHES[0],
+                    chain=True, inner=INNER,
                     name=f"polymul_fixed[{PARAM_SET},mxu,B={BATCHES[0]}]")
         _diag(r.line())
         # round-3 constant-folded variant: the pointwise diagonal lives
@@ -111,7 +126,8 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         Af = prep_f(jnp.asarray(rng.integers(
             0, ps.q, (1, ps.n), dtype=np.uint32)))
         r = measure(lambda _, c: mul_f(c, Af), x, x, warmup=2,
-                    iters=ITERS, items_per_iter=BATCHES[0], chain=True,
+                    iters=DIAG_ITERS, items_per_iter=BATCHES[0],
+                    chain=True, inner=INNER,
                     name=f"polymul_fixed[{PARAM_SET},mxu-folded,"
                          f"B={BATCHES[0]}]")
         _diag(r.line())
@@ -122,7 +138,7 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         from qtesla_tpu.params import register_param_set
         register_param_set("dilithium-256", n=256, q=8380417)
         r = benchmark_polymul("dilithium-256", "mxu", batch=BATCHES[0],
-                              iters=ITERS)
+                              iters=DIAG_ITERS, inner=INNER)
         _diag(r.line())
 
     def sp_tax_line(r, pset, k):
@@ -145,7 +161,8 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         def run():
             from qtesla_tpu.utils.timing import benchmark_ulysses_local
             b = batch_d or BATCHES[0]
-            r = benchmark_ulysses_local(pset, k, batch=b, iters=ITERS)
+            r = benchmark_ulysses_local(pset, k, batch=b, iters=DIAG_ITERS,
+                                        inner=INNER)
             norm = b / (k * r.min_s)
             if pset in flag:
                 tax = k * r.min_s * (BATCHES[0] / b) / flag[pset]
@@ -161,7 +178,7 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         def run():
             from qtesla_tpu.utils.timing import benchmark_sp_local
             r, _ = benchmark_sp_local(pset, k, batch=BATCHES[0],
-                                      iters=ITERS)
+                                      iters=DIAG_ITERS, inner=INNER)
             sp_tax_line(r, pset, k)
         return run
 
@@ -172,11 +189,12 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         from qtesla_tpu.utils.timing import (benchmark_sp_local_fixed,
                                              benchmark_sp_local_fixed_folded)
         r, _ = benchmark_sp_local_fixed(PARAM_SET, 4, batch=BATCHES[0],
-                                        iters=ITERS)
+                                        iters=DIAG_ITERS, inner=INNER)
         _diag(r.line())
         r, _ = benchmark_sp_local_fixed_folded(PARAM_SET, 4,
                                                batch=BATCHES[0],
-                                               iters=ITERS)
+                                               iters=DIAG_ITERS,
+                                               inner=INNER)
         _diag(r.line())
 
     # (label, worst-case seconds incl. tunnel compile, thunk) — measured
@@ -204,6 +222,10 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
         ("ulysses k=2", 25, ulysses(PARAM_SET, 2)),
         ("sp_local k=2", 80, sp_local(PARAM_SET, 2)),
         ("B=65536", 55, poly(PARAM_SET, best_algo, BATCHES[2])),
+        # single-call-per-step continuity row (the round-1..4 methodology;
+        # the delta vs the headline is the measured nop-step overhead)
+        ("headline x1", 25, poly(PARAM_SET, "mxu", BATCHES[0], inner=1)),
+        ("subbatch B=2048", 25, poly(PARAM_SET, "mxu", 2048)),
     ]
     if best_algo != "mxu":             # CPU fallback: only jnp pipelines
         tasks = [t for t in tasks
@@ -274,7 +296,8 @@ def main() -> int:
 
     algo = pick_algo()
     best = None
-    # headline sweep: B=16384 (the round-2/3 winner) + one larger point;
+    # headline sweep: B=16384 (the round-2/3 winner) + one larger point
+    # (B=32768 measured fastest round 5 under the amortized methodology);
     # B=65536 runs as a budget-permitting diagnostic
     configs = [(algo, b) for b in BATCHES[:2]]
     # fallback ladder: if every config of the preferred algorithm fails,
@@ -287,7 +310,7 @@ def main() -> int:
             continue                 # fallbacks only engage on total failure
         try:
             r = benchmark_polymul(PARAM_SET, candidate, batch=batch,
-                                  iters=ITERS)
+                                  iters=ITERS, inner=INNER)
         except Exception as e:
             _diag(f"{candidate} B={batch} failed: {e}")
             continue
@@ -321,11 +344,12 @@ def main() -> int:
     # estimate superseded by the audit (VERDICT r4 weak #1).
     print(json.dumps({
         "metric": f"negacyclic polymuls/s/chip (n=1024, q=8404993, "
-                  f"batch={batch}, algo={best_algo})",
+                  f"batch={batch}, algo={best_algo}, chained x{INNER}/step)",
         "value": round(value, 1),
         "unit": "polymuls/s/chip",
         "vs_baseline": round(value / REFERENCE_ESTIMATE, 3),
         "baseline_is_estimate": True,
+        "inner_chain": INNER,
         "vs_dma_floor_45M": round(value / 45.0e6, 3),
         "audited_op_projection_Ms": round(_audited_projection() / 1e6, 2),
         "vs_audited_projection": round(value / _audited_projection(), 3),

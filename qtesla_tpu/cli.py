@@ -289,7 +289,14 @@ def cmd_scaling(args) -> int:
     out = []
     base = None
     d = 1
-    while d <= ndev:
+    # On virtual devices that outnumber the host cores, dp rows at d > 2
+    # are pure contention noise (round-4's 0.88/1.16/1.15 spread exceeded
+    # the effect measured): emit only d in {1, 2} there, with min-of-N
+    # statistics — contention can only inflate a repeat, so the min is the
+    # repeatable estimate (VERDICT r4 item 7).
+    contended = virtual and ndev > cores
+    dmax = min(ndev, 2) if contended else ndev
+    while d <= dmax:
         mesh = make_mesh(data=d, model=1)
         B = fixed_global if fixed_global else args.batch_per_device * d
         if B % d:
@@ -299,19 +306,20 @@ def cmd_scaling(args) -> int:
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         fn = polymul_dp_fn(ps.name, mesh, algo=args.algo)
         r = measure(fn, x, y, warmup=2, iters=args.iters, items_per_iter=B,
-                    chain=True, name=f"dp[d={d},B={B},{args.algo}]")
-        # median-based throughput: stable across contended virtual-device
-        # runs (min-based is right for the single-chip headline, but here
-        # run-to-run agreement matters more than the best case)
+                    chain=True, repeats=5 if contended else 3,
+                    name=f"dp[d={d},B={B},{args.algo}]")
+        # min-based on contended virtual hosts (repeatability), median-based
+        # otherwise (robust central tendency on real devices)
+        tput = r.throughput_best if contended else r.throughput
         if base is None:
-            base = r.throughput
+            base = tput
         row = {"mode": "dp", "devices": d, "batch": B,
-               "polymuls_per_s": r.throughput}
+               "polymuls_per_s": tput}
         if fixed_global:
-            row["overhead_eff"] = r.throughput / base
+            row["overhead_eff"] = tput / base
             print(f"  {r.line()}  overhead-eff {row['overhead_eff']:5.1%}")
         else:
-            row["scaling_eff"] = r.throughput / (base * d)
+            row["scaling_eff"] = tput / (base * d)
             print(f"  {r.line()}  scaling-eff {row['scaling_eff']:5.1%}")
         out.append(annotate(row))
         d *= 2
@@ -328,15 +336,18 @@ def cmd_scaling(args) -> int:
             fn = polymul_fourstep_sharded_fn(ps.name, mesh)
             r = measure(fn, x, y, warmup=2, iters=args.iters,
                         items_per_iter=B, chain=True,
+                        repeats=5 if contended else 3,
                         name=f"fourstep[data={mesh.shape['data']},"
                              f"model={args.model},B={B}]")
-            # vs the DP aggregate at the same device count
+            # vs the DP aggregate at the same device count; same statistic
+            # as the dp rows (min-based under contention)
+            tput = r.throughput_best if contended else r.throughput
             denom = base if fixed_global else base * ndev
-            rel = r.throughput / denom if base else 0.0
+            rel = tput / denom if base else 0.0
             out.append(annotate({
                 "mode": "fourstep_sp",
                 "devices": ndev, "model": args.model, "batch": B,
-                "polymuls_per_s": r.throughput,
+                "polymuls_per_s": tput,
                 "vs_dp_eff": rel}))
             print(f"  {r.line()}  vs-dp {rel:5.1%}")
             # Ulysses SP (parallel/ulysses.py): batch<->position transpose
@@ -347,13 +358,15 @@ def cmd_scaling(args) -> int:
                 fnu = polymul_ulysses_fn(ps.name, mesh, local=args.algo)
                 ru = measure(fnu, x, y, warmup=2, iters=args.iters,
                              items_per_iter=B, chain=True,
+                             repeats=5 if contended else 3,
                              name=f"ulysses[data={mesh.shape['data']},"
                                   f"model={args.model},B={B}]")
-                relu = ru.throughput / denom if base else 0.0
+                tputu = ru.throughput_best if contended else ru.throughput
+                relu = tputu / denom if base else 0.0
                 out.append(annotate({
                     "mode": "ulysses_sp",
                     "devices": ndev, "model": args.model, "batch": B,
-                    "polymuls_per_s": ru.throughput,
+                    "polymuls_per_s": tputu,
                     "vs_dp_eff": relu}))
                 print(f"  {ru.line()}  vs-dp {relu:5.1%}")
     if args.json:

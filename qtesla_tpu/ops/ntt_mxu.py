@@ -958,7 +958,12 @@ def _tile_b(mt: MxuTables, requested: int | None,
     # `planes` = resident table plane count: Df+Di for the full polymul
     # kernels, Df or Di alone for the one-direction transforms
     tables = (planes or mt.Df + mt.Di) * mt.nb * mt.bw * (mt.D * mt.bw)
-    cap = (20 * 1024 * 1024 - tables) // (32 * mt.n)
+    avail = 20 * 1024 * 1024 - tables
+    # very large table sets (n=8192: 22 MB of digit matrices) would zero
+    # the tile budget; the compiler cap is 64 MB, so grant a 6 MB
+    # tile-buffer floor instead of collapsing to tb=8
+    avail = max(avail, 6 * 1024 * 1024)
+    cap = avail // (32 * mt.n)
     tb = 8
     while tb * 2 <= min(cap, 256):
         tb *= 2

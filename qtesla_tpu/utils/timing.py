@@ -76,7 +76,7 @@ class BenchResult:
 def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
             items_per_iter: int = 1, name: str = "bench",
             trace_dir: str | None = None, chain: bool = False,
-            repeats: int = 3) -> BenchResult:
+            repeats: int = 3, inner: int = 1) -> BenchResult:
     """Time fn(*args).
 
     chain=False: device sync per iteration (includes host dispatch latency —
@@ -87,7 +87,28 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
     Essential here: the TPU tunnel adds tens of ms of per-sync round-trip
     latency that would otherwise dominate.  `repeats` chained runs give
     mean/min/std of the per-iteration time.
+
+    inner>1 (chain mode only): each scan step calls fn `inner` times
+    back-to-back (z -> fn(.., z) -> fn(.., z) ...) and every recorded time
+    is per CALL (step time / inner), so all statistics stay per-call and
+    downstream consumers are unchanged.  Measured round 5: a NOP scan step
+    costs ~120 us on this backend (scripts/probe_r5b.py scan_nop,
+    size-independent), so single-call steps over-charge every kernel by
+    that fixed amount; inner=4 amortizes it while every unit of reported
+    work remains a real executed call.
     """
+    if inner > 1:
+        if not chain:
+            raise ValueError("inner>1 requires chain=True")
+        base_fn = fn
+
+        def fn(*a):  # noqa: F811 - inner-fold chained body
+            head, c = a[:-1], a[-1]
+            for _ in range(inner):
+                c = base_fn(*head, c)
+            return c
+
+        iters = max(1, iters // inner)
     for _ in range(warmup):
         out = fn(*args)
     if warmup:
@@ -133,7 +154,7 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 _run()
-                times.append((time.perf_counter() - t0) / iters)
+                times.append((time.perf_counter() - t0) / (iters * inner))
         else:
             if not warmup:
                 jax.block_until_ready(fn(*args))  # ensure compiled
@@ -205,7 +226,7 @@ def benchmark_polymul(param_set: str, algo: str = "merged",
                       batch: int = 4096, iters: int = 20,
                       warmup: int = 3, seed: int = 0,
                       trace_dir: str | None = None,
-                      chain: bool = True) -> BenchResult:
+                      chain: bool = True, inner: int = 1) -> BenchResult:
     """Steady-state batched negacyclic polymul throughput on the default
     backend (the reference's polymuls/s metric, NTT.cu:2083).  Chained by
     default: z_{i+1} = polymul(x, z_i) keeps the device busy back-to-back and
@@ -221,14 +242,15 @@ def benchmark_polymul(param_set: str, algo: str = "merged",
     y = jnp.asarray(rng.integers(0, ps.q, (batch, ps.n), dtype=np.uint32))
     fn = polymul_fn(param_set, algo)
     return measure(fn, x, y, warmup=warmup, iters=iters,
-                   items_per_iter=batch, chain=chain,
-                   name=f"polymul[{param_set},{algo},B={batch}]",
+                   items_per_iter=batch, chain=chain, inner=inner,
+                   name=f"polymul[{param_set},{algo},B={batch}"
+                        + (f",x{inner}" if inner > 1 else "") + "]",
                    trace_dir=trace_dir)
 
 
 def benchmark_sp_local(param_set: str, k: int, batch: int = 16384,
                        iters: int = 400, warmup: int = 2, seed: int = 0,
-                       n1: int | None = None):
+                       n1: int | None = None, inner: int = 1):
     """Per-chip LOCAL segment pipeline of the sharded four-step NTT (the
     compute between the all_to_alls) on its (batch, n/k) shard — the
     single-chip surface behind the SP-tax metric
@@ -249,14 +271,15 @@ def benchmark_sp_local(param_set: str, k: int, batch: int = 16384,
     y = jnp.asarray(rng.integers(0, ps.q, (batch, plans.nloc),
                                  dtype=np.uint32))
     r = measure(pipe, x, y, warmup=warmup, iters=iters, chain=True,
-                items_per_iter=batch,
-                name=f"sp_local[{param_set},k={k},B={batch}]")
+                items_per_iter=batch, inner=inner,
+                name=f"sp_local[{param_set},k={k},B={batch}"
+                     + (f",x{inner}" if inner > 1 else "") + "]")
     return r, plans
 
 
 def benchmark_ulysses_local(param_set: str, k: int, batch: int = 16384,
                             iters: int = 400, warmup: int = 2,
-                            seed: int = 0) -> BenchResult:
+                            seed: int = 0, inner: int = 1) -> BenchResult:
     """Per-chip LOCAL compute of the Ulysses SP path: the unmodified
     flagship kernel at batch/k (each chip runs the full-width pipeline on
     its transposed row shard; parallel/ulysses.py).  The tax metric is
@@ -278,13 +301,15 @@ def benchmark_ulysses_local(param_set: str, k: int, batch: int = 16384,
     x = jnp.asarray(rng.integers(0, ps.q, (Bl, ps.n), dtype=np.uint32))
     y = jnp.asarray(rng.integers(0, ps.q, (Bl, ps.n), dtype=np.uint32))
     return measure(fn, x, y, warmup=warmup, iters=iters, chain=True,
-                   items_per_iter=Bl,
-                   name=f"ulysses_local[{param_set},k={k},B={batch}]")
+                   items_per_iter=Bl, inner=inner,
+                   name=f"ulysses_local[{param_set},k={k},B={batch}"
+                        + (f",x{inner}" if inner > 1 else "") + "]")
 
 
 def benchmark_sp_local_classes(param_set: str, k: int, batch: int = 16384,
                                iters: int = 400, warmup: int = 2,
-                               seed: int = 0, n1: int | None = None):
+                               seed: int = 0, n1: int | None = None,
+                               inner: int = 1):
     """Per-chip LOCAL pipeline of the round-5 CLASS-SUM-boundary SP path
     (sharded_mxu.local_pipeline_classes_fn): seg1 ships raw biased class
     sums (no recombination), seg2 consumes them through per-class scaled
@@ -305,14 +330,16 @@ def benchmark_sp_local_classes(param_set: str, k: int, batch: int = 16384,
                                  dtype=np.uint32))
     # chain via y (the pipe output is (B, nloc) like its inputs)
     r = measure(pipe, x, y, warmup=warmup, iters=iters, chain=True,
-                items_per_iter=batch,
-                name=f"sp_local_classes[{param_set},k={k},B={batch}]")
+                items_per_iter=batch, inner=inner,
+                name=f"sp_local_classes[{param_set},k={k},B={batch}"
+                     + (f",x{inner}" if inner > 1 else "") + "]")
     return r, plans, cp
 
 
 def benchmark_sp_local_fixed(param_set: str, k: int, batch: int = 16384,
                              iters: int = 400, warmup: int = 2,
-                             seed: int = 0, n1: int | None = None):
+                             seed: int = 0, n1: int | None = None,
+                             inner: int = 1):
     """Per-chip LOCAL pipeline of the FIXED-OPERAND four-step SP path
     (one forward + one inverse, the constant spectrum resident): seg1 on
     x only, seg2-fixed, seg3 — the serving shape's SP surface
@@ -356,15 +383,16 @@ def benchmark_sp_local_fixed(param_set: str, k: int, batch: int = 16384,
     aspec = jnp.asarray(rng.integers(0, tbl.q, (1, plans.nloc),
                                      dtype=np.uint32))
     r = measure(lambda a, c: pipe(a, c), aspec, x, warmup=warmup,
-                iters=iters, chain=True, items_per_iter=batch,
-                name=f"sp_local_fixed[{param_set},k={k},B={batch}]")
+                iters=iters, chain=True, items_per_iter=batch, inner=inner,
+                name=f"sp_local_fixed[{param_set},k={k},B={batch}"
+                     + (f",x{inner}" if inner > 1 else "") + "]")
     return r, plans
 
 
 def benchmark_sp_local_fixed_folded(param_set: str, k: int,
                                     batch: int = 16384, iters: int = 400,
                                     warmup: int = 2, seed: int = 0,
-                                    n1: int | None = None):
+                                    n1: int | None = None, inner: int = 1):
     """Per-chip LOCAL pipeline of the round-4 FOLDED fixed-operand SP path
     (sharded_mxu.polymul_fixed_folded_fourstep_mxu_fn's local compute):
     seg1 -> ONE folded segment-2 matmul -> seg3x — one digit-split round
@@ -406,8 +434,9 @@ def benchmark_sp_local_fixed_folded(param_set: str, k: int,
     x = jnp.asarray(rng.integers(0, tbl.q, (batch, plans.nloc),
                                  dtype=np.uint32))
     r = measure(lambda c: pipe(c), x, warmup=warmup, iters=iters,
-                chain=True, items_per_iter=batch,
-                name=f"sp_local_fixed_folded[{param_set},k={k},B={batch}]")
+                chain=True, items_per_iter=batch, inner=inner,
+                name=f"sp_local_fixed_folded[{param_set},k={k},B={batch}"
+                     + (f",x{inner}" if inner > 1 else "") + "]")
     return r, plans
 
 

@@ -34,7 +34,7 @@ def test_main_emits_one_json_line_last(monkeypatch, capsys):
         def line(self):
             return "fake"
 
-    def fake_benchmark(name, algo, batch, iters):
+    def fake_benchmark(name, algo, batch, iters, inner=1):
         calls.append((name, algo, batch))
         if len(calls) > 1:
             raise RuntimeError("boom")        # diagnostics may fail freely
