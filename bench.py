@@ -235,10 +235,13 @@ def _diagnostics(best_algo: str, batch: int, t_flag_best: float) -> None:
             _diag(f"skipped[{label}]: {_remaining():.0f}s left < "
                   f"{cost}s worst-case (budget {BUDGET_S:.0f}s)")
             continue
+        t0 = time.monotonic()
         try:
             run()
         except Exception as e:
             _diag(f"{label} failed: {e}")
+        _diag(f"task[{label}] took {time.monotonic() - t0:.0f}s "
+              f"(budgeted {cost}s)")
 
 
 def _cpu_mesh_validation() -> None:

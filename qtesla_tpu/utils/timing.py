@@ -109,6 +109,13 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
             return c
 
         iters = max(1, iters // inner)
+    if chain:
+        # eager warmup would compile the STANDALONE fn — a program the
+        # timing never runs (the scan inlines the jitted fn into _loop,
+        # which _run() below compiles and warms, including the tunnel's
+        # first-readback handshake).  Skipping it saves one full tunnel
+        # compile (~20-60 s) per chained configuration (round 5).
+        warmup = 0
     for _ in range(warmup):
         out = fn(*args)
     if warmup:
