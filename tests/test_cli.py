@@ -27,6 +27,7 @@ def test_correctness_random(capsys):
     assert "Identical." in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_correctness_all_skips_pallas_on_cpu(capsys):
     assert cli.main(["correctness", "--param-set", "smallprime",
                      "--algo", "all"]) == 0

@@ -22,6 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_cpu_cluster():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

@@ -20,13 +20,20 @@ from qtesla_tpu.params import get_params
 # SETS_LIGHT is for the heavier per-test pipelines (fixed-operand,
 # adversarial, spectrum-compat), where q-i already exercises the same
 # code paths at half the interpret-mode cost — q-iii joins the slow tier.
-SETS = ["smallprime", "qtesla-i", "qtesla-iii-speed",
-        pytest.param("qtesla-p-i", marks=pytest.mark.slow),
-        pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
-SETS_LIGHT = ["smallprime", "qtesla-i",
+# the flagship q-iii interpret check runs in the slow tier and the
+# real-TPU lane; the default tier's q-iii interpret coverage is the
+# sharded classes-boundary test (test_sharded.py)
+SETS = ["smallprime",
+        pytest.param("qtesla-i", marks=pytest.mark.slow),
+        pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
+        pytest.param("qtesla-p-i", marks=pytest.mark.exhaustive),
+        pytest.param("qtesla-p-iii", marks=pytest.mark.exhaustive)]
+SETS_LIGHT = ["smallprime",
+              pytest.param("qtesla-i", marks=pytest.mark.slow),
               pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
-              pytest.param("qtesla-p-i", marks=pytest.mark.slow),
-              pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
+              pytest.param("qtesla-p-i", marks=pytest.mark.exhaustive),
+              pytest.param("qtesla-p-iii",
+                           marks=pytest.mark.exhaustive)]
 
 
 @pytest.mark.parametrize("name", SETS)
@@ -79,7 +86,7 @@ def test_mxu_table_invariants(name):
 
 def test_mxu_batch_padding(rng):
     ps = get_params("smallprime")
-    for B in [1, 3, 7]:
+    for B in [1, 7]:       # pad 7 rows / pad 1 row (B=3 adds no new path)
         x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         z = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(x, y))
@@ -148,7 +155,7 @@ def test_mxu_leading_axes(rng):
 
 @pytest.mark.parametrize("name", ["smallprime",
                                   pytest.param("qtesla-i",
-                                               marks=pytest.mark.slow),
+                                               marks=pytest.mark.exhaustive),
                                   pytest.param("qtesla-iii-speed",
                                                marks=pytest.mark.slow)])
 def test_mxu_fixed_accepts_merged_spectrum(rng, name):
@@ -197,9 +204,9 @@ def test_mxu_dp_shard_map_interpret(rng):
                                   pytest.param("qtesla-iii-speed",
                                                marks=pytest.mark.slow),
                                   pytest.param("qtesla-p-i",
-                                               marks=pytest.mark.slow),
+                                               marks=pytest.mark.exhaustive),
                                   pytest.param("qtesla-p-iii",
-                                               marks=pytest.mark.slow)])
+                                               marks=pytest.mark.exhaustive)])
 def test_mxu_fixed_folded_bit_exact(rng, name):
     """Constant-folded fixed-operand kernel: the constant's pointwise
     diagonal is folded into per-constant inverse matmul tables

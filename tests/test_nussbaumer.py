@@ -56,7 +56,7 @@ def test_nussbaumer_ring_vs_oracle(rng, n):
 @pytest.mark.parametrize("name", [
     "smallprime",
     pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
-    pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
+    pytest.param("qtesla-p-iii", marks=pytest.mark.exhaustive)])
 def test_nussbaumer_vs_ntt_crosscheck(rng, name):
     """Independent-algorithm cross-check, small operands (the Nussbaumer
     exactness domain — same restriction as the reference's Z_{2^32-1} path)."""
@@ -106,8 +106,8 @@ def test_nussbaumer_ring_out_of_domain_raises():
 
 @pytest.mark.parametrize("name", [
     "smallprime",
-    pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
-    pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
+    pytest.param("qtesla-iii-speed", marks=pytest.mark.exhaustive),
+    pytest.param("qtesla-p-iii", marks=pytest.mark.exhaustive)])
 def test_nussbaumer_modq_full_range(rng, name):
     """The exact mod-q recursion has NO domain restriction: full-range
     random operands and adversarial all-(q-1) operands, vs big-int oracle."""
@@ -143,6 +143,7 @@ def test_nussbaumer_batch_chunking(rng):
     np.testing.assert_array_equal(chunked, whole)
 
 
+@pytest.mark.slow
 def test_karatsuba_base_products_match_schoolbook(rng):
     """The negacyclic-Karatsuba base products (9/16 the multiplies) must be
     bit-identical to the reference-shaped schoolbook (smallprime keeps it
@@ -167,7 +168,7 @@ def test_karatsuba_matches_schoolbook_ring(rng):
     assert (c == d).all()
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_karatsuba_matches_schoolbook_qtesla_iii(rng):
     from qtesla_tpu.ops.nussbaumer import nussbaumer_negacyclic_modq
     ps = get_params("qtesla-iii-speed")

@@ -14,10 +14,11 @@ from qtesla_tpu.ops.ntt_pallas import (intt_fused_fn, ntt_fused_fn,
 from qtesla_tpu.ops.tables import get_tables
 from qtesla_tpu.params import get_params
 
-SETS = ["smallprime", "qtesla-iii-speed",
+SETS = ["smallprime",
+        pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
         pytest.param("qtesla-i", marks=pytest.mark.slow),
-        pytest.param("qtesla-p-i", marks=pytest.mark.slow),
-        pytest.param("qtesla-p-iii", marks=pytest.mark.slow)]
+        pytest.param("qtesla-p-i", marks=pytest.mark.exhaustive),
+        pytest.param("qtesla-p-iii", marks=pytest.mark.exhaustive)]
 
 
 @pytest.mark.parametrize("name", SETS)
@@ -46,7 +47,7 @@ def test_fused_transforms_match_jnp(rng, name):
 def test_fused_batch_padding(rng):
     """Batch sizes that don't divide the tile are padded and sliced."""
     ps = get_params("smallprime")
-    for B in [1, 3, 7]:
+    for B in [1, 7]:
         x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         z = np.asarray(polymul_fused_fn("smallprime", interpret=True)(x, y))
@@ -65,7 +66,9 @@ def test_fused_via_models_api(rng):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.parametrize("name", ["smallprime", "qtesla-iii-speed"])
+@pytest.mark.parametrize("name", [
+    "smallprime",
+    pytest.param("qtesla-iii-speed", marks=pytest.mark.slow)])
 def test_fused_fixed_operand_bit_exact(rng, name):
     """Fixed-operand fused kernel (one fwd + pointwise-vs-broadcast-spectrum
     + inverse) vs the streamed two-operand pipeline."""

@@ -135,7 +135,7 @@ def test_runtime_registered_set_mxu_and_nussbaumer(rng):
     np.testing.assert_array_equal(z, want)
 
 
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_dilithium_prime_and_n4096_beyond_reference(rng):
     """Generality beyond the reference's hardcoded N=4..1024 ladder
     (main.cu:18-65): the Dilithium prime q=8380417=2^23-2^13+1 at n=256,

@@ -47,7 +47,8 @@ def test_all_ones_closed_form_all_sets(name):
 
 
 @pytest.mark.parametrize("name", [
-    "qtesla-iii-speed",
+    "smallprime",
+    pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
     pytest.param("qtesla-p-i", marks=pytest.mark.slow),
     pytest.param("qtesla-p-iii", marks=pytest.mark.slow)])
 def test_merged_vs_stockham_cross_algorithm(rng, name):

@@ -34,7 +34,10 @@ def test_dp_8way_bit_exact(data16):
 
 
 @needs8
-@pytest.mark.parametrize("data,model", [(2, 4), (1, 8), (4, 2)])
+@pytest.mark.parametrize("data,model", [
+    (2, 4),
+    pytest.param(1, 8, marks=pytest.mark.slow),
+    pytest.param(4, 2, marks=pytest.mark.slow)])
 def test_fourstep_sharded_bit_exact(data16, data, model):
     ps, x, y, want = data16
     mesh = make_mesh(data=data, model=model)
@@ -128,6 +131,7 @@ def test_polymul_fixed_dp_merged(rng):
 
 
 @needs8
+@pytest.mark.slow
 def test_fourstep_mxu_sharded_bit_exact(data16):
     """The MXU-kernel SP path (interpret mode on the CPU mesh): same
     layouts/all_to_alls as the jnp path, local compute through the fused
@@ -204,7 +208,7 @@ def test_fourstep_mxu_sharded_fixed_folded(data16, rng):
 
 
 @needs8
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_fourstep_mxu_folded_fixed_other_sets(rng):
     """Folded fixed path on a 30-bit-q set at model=8 (no wide stages —
     the pure 3-matmul pipeline) and q-iii at model=8."""
@@ -225,7 +229,7 @@ def test_fourstep_mxu_folded_fixed_other_sets(rng):
 
 
 @needs8
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_fourstep_mxu_other_sets(rng):
     from qtesla_tpu.parallel.sharded_mxu import polymul_fourstep_mxu_fn
     # qtesla-iii-speed at model=8 is the config whose seg1 cost model picks
@@ -247,7 +251,7 @@ def test_fourstep_mxu_other_sets(rng):
 
 
 @needs8
-@pytest.mark.slow
+@pytest.mark.exhaustive
 def test_fourstep_mxu_large_nloc(rng):
     """Configs the round-2 dense path hard-capped (_MAX_DENSE=512):
     qtesla-p-iii at model=2 has nloc=1024 and dilithium-4096 at model=2
