@@ -413,15 +413,20 @@ def fourstep_mxu_plans(name: str, n1: int, k: int):
 # ----------------------------------------------------------------------
 
 def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
-            interpret: bool):
-    """Batch-tiled pallas_call over (Bl, nloc) local arrays + broadcast
+            interpret: bool, in_w: int | None = None,
+            out_w: int | None = None):
+    """Batch-tiled pallas_call over (Bl, in_w) local arrays + broadcast
     rows + whole-table inputs (mirrors ntt_mxu._make_runner).  Table
     arrays are passed at CALL time — under shard_map they are the
-    device-local slices of the stacked per-device tables."""
+    device-local slices of the stacked per-device tables.  in_w/out_w
+    default to nloc; the class-sum boundary kernels use Dout*nloc on one
+    side (round 5)."""
+    in_w = in_w or nloc
+    out_w = out_w or nloc
 
     def run(*args):
-        tensors = tuple(v.reshape(-1, nloc) for v in args[:n_in])
-        bcast = tuple(v.reshape(1, nloc)
+        tensors = tuple(v.reshape(-1, in_w) for v in args[:n_in])
+        bcast = tuple(v.reshape(1, in_w)
                       for v in args[n_in:n_in + n_bcast])
         tables = args[n_in + n_bcast:]
         B = tensors[0].shape[0]
@@ -430,9 +435,9 @@ def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
         if pad:
             tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
         Bp = B + pad
-        specs = [pl.BlockSpec((tile, nloc), lambda i: (i, 0),
+        specs = [pl.BlockSpec((tile, in_w), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * n_in
-        specs += [pl.BlockSpec((1, nloc), lambda i: (0, 0),
+        specs += [pl.BlockSpec((1, in_w), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)] * n_bcast
         specs += [pl.BlockSpec(t.shape, (lambda *_, nd=t.ndim: (0,) * nd),
                                memory_space=pltpu.VMEM) for t in tables]
@@ -444,9 +449,9 @@ def _runner(kernel, nloc: int, n_in: int, n_bcast: int, tile_b: int,
             kernel,
             grid=(Bp // tile,),
             in_specs=specs,
-            out_specs=pl.BlockSpec((tile, nloc), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tile, out_w), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Bp, nloc), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.uint32),
             interpret=interpret,
             **kwargs,
         )(*tensors, *bcast, *tables)
@@ -962,43 +967,6 @@ def class_boundary_plan(name: str, n1: int, k: int):
         const=const, one_shoup=one_shoup)
 
 
-def _runner_w(kernel, in_w: int, out_w: int, n_in: int, tile_b: int,
-              interpret: bool):
-    """_runner variant with distinct input/output row widths (the class
-    boundary ships Dout planes per coefficient)."""
-
-    def run(*args):
-        tensors = tuple(v.reshape(-1, in_w) for v in args[:n_in])
-        tables = args[n_in:]
-        B = tensors[0].shape[0]
-        tile = min(tile_b, max(8, 1 << (B - 1).bit_length()))
-        pad = (-B) % tile
-        if pad:
-            tensors = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in tensors)
-        Bp = B + pad
-        specs = [pl.BlockSpec((tile, in_w), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * n_in
-        specs += [pl.BlockSpec(t.shape, (lambda *_, nd=t.ndim: (0,) * nd),
-                               memory_space=pltpu.VMEM) for t in tables]
-        kwargs = {}
-        if not interpret:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-        out = pl.pallas_call(
-            kernel,
-            grid=(Bp // tile,),
-            in_specs=specs,
-            out_specs=pl.BlockSpec((tile, out_w), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.uint32),
-            interpret=interpret,
-            **kwargs,
-        )(*tensors, *tables)
-        return out[:B] if pad else out
-
-    return run
-
-
 def _make_seg1_classes(plans, cp, tile_b, interpret):
     """Column transform ending at RAW class sums: wide stages + digit
     split + dots, NO recombination; class m stored biased as
@@ -1024,8 +992,8 @@ def _make_seg1_classes(plans, cp, tile_b, interpret):
                 o_ref[:, m * nloc + t * TW:m * nloc + (t + 1) * TW] = (
                     c + np.int32(cp.cls_b[m])).astype(jnp.uint32)
 
-    return _runner_w(kernel, plans.nloc, Dout * plans.nloc, 1, tile_b,
-                     interpret)
+    return _runner(kernel, plans.nloc, 1, 0, tile_b, interpret,
+                   out_w=Dout * plans.nloc)
 
 
 def _make_seg2_classes(plans, cp, tile_b, interpret):
@@ -1069,8 +1037,8 @@ def _make_seg2_classes(plans, cp, tile_b, interpret):
                                          ps.one_shoup)
             o_ref[:, bb * TW:(bb + 1) * TW] = lazy
 
-    return _runner_w(kernel, Dout * plans.nloc, plans.nloc, 2, tile_b,
-                     interpret)
+    return _runner(kernel, plans.nloc, 2, 0, tile_b, interpret,
+                   in_w=Dout * plans.nloc)
 
 
 def polymul_fourstep_mxu_classes_fn(name: str, mesh: Mesh,

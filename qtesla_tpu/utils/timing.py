@@ -84,6 +84,9 @@ def measure(fn: Callable, *args, warmup: int = 3, iters: int = 10,
 
     chain=True: fn's output is fed back as its LAST argument, iters calls are
     enqueued back-to-back and synced once — measures pure device throughput.
+    `warmup` is IGNORED in this mode: the pre-timing _run() pass compiles
+    and warms the one program that is timed (see below), and an eager
+    warmup would only compile a never-timed standalone program.
     Essential here: the TPU tunnel adds tens of ms of per-sync round-trip
     latency that would otherwise dominate.  `repeats` chained runs give
     mean/min/std of the per-iteration time.
@@ -481,4 +484,5 @@ def benchmark_reduction(param_set: str, op: str = "shoup",
         raise ValueError(f"unknown reduction op {op!r}")
     return measure(fn, x, x, warmup=2, iters=iters, chain=True,
                    items_per_iter=size, inner=inner,
-                   name=f"reduction[{param_set},{op},{size}]")
+                   name=f"reduction[{param_set},{op},{size}"
+                        + (f",x{inner}" if inner > 1 else "") + "]")

@@ -149,9 +149,13 @@ def probe_bdot(iters):
                          memory_space=pltpu.VMEM)
     spec3 = pl.BlockSpec((nb, TB, bw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    out2 = jax.ShapeDtypeStruct((TB, nb * bw), jnp.int32)
     REP = 8          # repeat the dots inside the kernel to swamp launch
 
+    # NOTE: outputs are cast back to int8 in the INPUT's shape so the
+    # chained scan carry round-trips (the first committed version returned
+    # int32 (TB, nb*bw) and every case failed at trace time with a scan
+    # carry-type mismatch; probe_r5c.py carries the canonical REP=128
+    # version of this probe and its measured rejection)
     def k_loop(x_ref, w_ref, o_ref):
         acc = None
         for _ in range(REP):
@@ -162,7 +166,7 @@ def probe_bdot(iters):
                     preferred_element_type=jnp.int32)
                 s = p[:, :bw] + p[:, bw:2 * bw] + p[:, 2 * bw:]
                 acc = s if acc is None else acc + s
-        o_ref[:] = jnp.tile(acc, (1, nb))
+        o_ref[:] = jnp.tile(acc.astype(jnp.int8), (1, nb))
 
     def k_batched(x_ref, w_ref, o_ref):
         acc = None
@@ -173,7 +177,7 @@ def probe_bdot(iters):
                                 preferred_element_type=jnp.int32)
             s = (p[..., :bw] + p[..., bw:2 * bw] + p[..., 2 * bw:]).sum(0)
             acc = s if acc is None else acc + s
-        o_ref[:] = jnp.tile(acc, (1, nb))
+        o_ref[:] = jnp.tile(acc.astype(jnp.int8), (1, nb))
 
     def k_batched_pre(x_ref, w_ref, o_ref):
         acc = None
@@ -183,18 +187,24 @@ def probe_bdot(iters):
                                 preferred_element_type=jnp.int32)
             s = (p[..., :bw] + p[..., bw:2 * bw] + p[..., 2 * bw:]).sum(0)
             acc = s if acc is None else acc + s
-        o_ref[:] = jnp.tile(acc, (1, nb))
+        o_ref[:] = jnp.broadcast_to(
+            acc.astype(jnp.int8)[None], (nb, TB, bw))
 
-    for tag, kern, spec_x, xin in (
-            ("dots loop x8", k_loop, spec2, xs),
-            ("dots batched x8", k_batched, spec2, xs),
-            ("dots batched-pre x8", k_batched_pre, spec3, xs3)):
+    cases = [
+        ("dots loop x8", k_loop, spec2, spec2,
+         jax.ShapeDtypeStruct((TB, nb * bw), jnp.int8), xs),
+        ("dots batched x8", k_batched, spec2, spec2,
+         jax.ShapeDtypeStruct((TB, nb * bw), jnp.int8), xs),
+        ("dots batched-pre x8", k_batched_pre, spec3, spec3,
+         jax.ShapeDtypeStruct((nb, TB, bw), jnp.int8), xs3),
+    ]
+    for tag, kern, spec_x, spec_o, oshape, xin in cases:
         @jax.jit
-        def fn(xv, kern=kern, spec_x=spec_x):
+        def fn(xv, kern=kern, spec_x=spec_x, spec_o=spec_o, oshape=oshape):
             return pl.pallas_call(
                 kern, grid=(1,),
-                in_specs=[spec_x, specw], out_specs=spec2,
-                out_shape=out2,
+                in_specs=[spec_x, specw], out_specs=spec_o,
+                out_shape=oshape,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=64 * 1024 * 1024),
             )(xv, W)

@@ -93,12 +93,11 @@ def probe_spclasses():
     for k in (4, 8):
         r, _ = benchmark_sp_local(NAME, k, batch=16384, iters=400)
         print(f"sp_local k={k}: {r.line()}", flush=True)
-        r, _, cp = benchmark_sp_local_classes(NAME, k, batch=16384,
-                                              iters=400)
-        extra = sum(cp.dins) - 0
+        r, plans, cp = benchmark_sp_local_classes(NAME, k, batch=16384,
+                                                  iters=400)
         print(f"sp_local_classes k={k}: {r.line()}  "
-              f"[consumer dots/block {extra} vs unfolded "
-              f"{'-'}; a2a#1 bytes x{cp.Dout}]", flush=True)
+              f"[consumer dots/block {sum(cp.dins)} vs unfolded "
+              f"{plans.p2f.din}; a2a#1 bytes x{cp.Dout}]", flush=True)
 
 
 def probe_bdot():

@@ -14,15 +14,12 @@ from qtesla_tpu.ops.ntt_mxu import (get_mxu_tables, intt_mxu_fn, ntt_mxu_fn,
 from qtesla_tpu.ops.tables import get_tables
 from qtesla_tpu.params import get_params
 
-# default tier: the p-sets (n=1024/2048, D=4 digit tables) dominate the
-# interpret-mode runtime; they run in the slow tier (pytest -m slow).
-# SETS keeps qtesla-iii-speed in the fast tier (the flagship config);
-# SETS_LIGHT is for the heavier per-test pipelines (fixed-operand,
-# adversarial, spectrum-compat), where q-i already exercises the same
-# code paths at half the interpret-mode cost — q-iii joins the slow tier.
-# the flagship q-iii interpret check runs in the slow tier and the
-# real-TPU lane; the default tier's q-iii interpret coverage is the
-# sharded classes-boundary test (test_sharded.py)
+# Tiering (round 5): the default tier runs every mxu test at smallprime;
+# the real qTESLA sets are the slow tier (the flagship q-iii interpret
+# checks run there and in the real-TPU lane; default-tier q-iii interpret
+# coverage is the sharded classes-boundary test in test_sharded.py); the
+# p-sets (n=1024/2048, D=4 digit tables) dominate interpret runtime and
+# are the exhaustive tier.
 SETS = ["smallprime",
         pytest.param("qtesla-i", marks=pytest.mark.slow),
         pytest.param("qtesla-iii-speed", marks=pytest.mark.slow),
