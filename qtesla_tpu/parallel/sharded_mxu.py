@@ -81,7 +81,9 @@ from ..ops.tables import NttTables, get_tables
 
 __all__ = ["polymul_fourstep_mxu_fn", "polymul_fixed_fourstep_mxu_fn",
            "polymul_fixed_folded_fourstep_mxu_fn", "fourstep_fold_tables",
-           "fourstep_mxu_plans", "local_pipeline_fn"]
+           "fourstep_mxu_plans", "local_pipeline_fn",
+           "polymul_fourstep_mxu_classes_fn", "class_boundary_plan",
+           "local_pipeline_classes_fn"]
 
 
 class _RollTables:

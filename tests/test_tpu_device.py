@@ -250,3 +250,46 @@ def test_sp_segment_kernels_on_device():
         F = (F.astype(object) @ plans.K2i[d, bb].astype(object)) % q
         wantx[:, ts] = matmod(x[:, ts], F)
     assert_lazy_equal(outx, wantx, plans.p2x.store_bound)
+
+
+def test_classes_boundary_kernels_on_device():
+    """Round-5 class-sum boundary kernels (seg1-classes producer and
+    seg2-classes consumer), Mosaic-compiled on real hardware vs their own
+    interpret-mode twins — the layout-sensitive biased class-plane store
+    and the per-class multi-split consume are exactly the code a Mosaic
+    miscompile would corrupt.  (The full a2a path is CPU-mesh-tested in
+    test_sharded.py; one chip cannot host the model=k mesh.)"""
+    import jax.numpy as jnp
+    from qtesla_tpu.parallel import sharded_mxu as SM
+    from qtesla_tpu.params import get_params
+
+    name = "qtesla-iii-speed"
+    ps = get_params(name)
+    k = 4
+    n1 = 1 << (ps.logn // 2)
+    plans = SM.fourstep_mxu_plans(name, n1, k)
+    cp = SM.class_boundary_plan(name, n1, k)
+    tb = SM._default_tile(plans.nloc)
+    rng = np.random.default_rng(5)
+    B = 32
+    x = rng.integers(0, ps.q, (B, plans.nloc), dtype=np.uint32)
+    x[0, :] = ps.q - 1
+    w1 = jnp.asarray(plans.p1.W[1:2])
+    cK = jnp.asarray(cp.const[1:2])
+    wi = jnp.asarray(plans.p2i.W[1:2])
+    ci = jnp.asarray(plans.p2i.const[1:2])
+    for interp in (False, True):
+        seg1c = SM._make_seg1_classes(plans, cp, tb, interp)
+        u = np.asarray(seg1c(jnp.asarray(x), w1))
+        if interp:
+            np.testing.assert_array_equal(u, u_dev)
+        else:
+            u_dev = u
+    uj = jnp.asarray(u_dev)
+    for interp in (False, True):
+        seg2c = SM._make_seg2_classes(plans, cp, tb, interp)
+        w = np.asarray(seg2c(uj, uj, *cp.W, cK, wi, ci))
+        if interp:
+            np.testing.assert_array_equal(w, w_dev)
+        else:
+            w_dev = w
