@@ -406,6 +406,14 @@ def main(argv=None) -> int:
                         "(multi-host pods; reads JAX_COORDINATOR_ADDRESS / "
                         "JAX_NUM_PROCESSES / JAX_PROCESS_ID or the cloud "
                         "metadata)")
+    p.add_argument("--register", action="append", default=[],
+                   metavar="NAME:n:q",
+                   help="register an extra parameter set at runtime "
+                        "(power-of-two n, prime q = 1 mod 2n; repeatable) "
+                        "— e.g. --register qtesla3s-8192:8192:8404993; "
+                        "the CLI equivalent of params.register_param_set, "
+                        "replacing the reference's compile-time ladder "
+                        "(main.cu:18-65)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("info", help="parameter banner for all registered sets")
@@ -466,6 +474,13 @@ def main(argv=None) -> int:
     m.add_argument("-r", "--seed", type=int, default=0)
 
     args = p.parse_args(argv)
+    for spec in args.register:
+        try:
+            nm, nn, qq = spec.rsplit(":", 2)
+            from .params import register_param_set
+            register_param_set(nm, n=int(nn), q=int(qq))
+        except ValueError as e:
+            raise SystemExit(f"--register {spec!r}: {e}") from e
     if args.distributed:
         from .parallel import init_distributed
         init_distributed()

@@ -118,3 +118,18 @@ def test_microbench(capsys):
 def test_unknown_algo_rejected():
     with pytest.raises(SystemExit):
         cli.main(["speed", "--algo", "nope"])
+
+
+def test_register_flag_runs_registered_set(capsys):
+    """--register NAME:n:q makes a runtime set usable by every subcommand
+    (the CLI face of params.register_param_set; reference compile-time
+    ladder main.cu:18-65)."""
+    assert cli.main(["--register", "cli-reg-64:64:65537", "speed",
+                     "--param-set", "cli-reg-64", "--algo", "merged",
+                     "--batch", "8", "--iters", "2"]) == 0
+    assert "cli-reg-64" in capsys.readouterr().out
+
+
+def test_register_flag_rejects_malformed():
+    with pytest.raises(SystemExit, match="--register"):
+        cli.main(["--register", "oops:notanint:3", "info"])
