@@ -120,6 +120,7 @@ def test_unknown_algo_rejected():
         cli.main(["speed", "--algo", "nope"])
 
 
+@pytest.mark.slow
 def test_register_flag_runs_registered_set(capsys):
     """--register NAME:n:q makes a runtime set usable by every subcommand
     (the CLI face of params.register_param_set; reference compile-time

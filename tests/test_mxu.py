@@ -83,7 +83,7 @@ def test_mxu_table_invariants(name):
 
 def test_mxu_batch_padding(rng):
     ps = get_params("smallprime")
-    for B in [1, 7]:       # pad 7 rows / pad 1 row (B=3 adds no new path)
+    for B in [7]:          # pads 1 row; B=1/3 exercise the same path
         x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         z = np.asarray(polymul_mxu_fn("smallprime", interpret=True)(x, y))

@@ -47,7 +47,7 @@ def test_fused_transforms_match_jnp(rng, name):
 def test_fused_batch_padding(rng):
     """Batch sizes that don't divide the tile are padded and sliced."""
     ps = get_params("smallprime")
-    for B in [1, 7]:
+    for B in [7]:
         x = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         y = rng.integers(0, ps.q, (B, ps.n), dtype=np.uint32)
         z = np.asarray(polymul_fused_fn("smallprime", interpret=True)(x, y))

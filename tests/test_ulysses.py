@@ -59,6 +59,7 @@ def test_ulysses_fixed_operand(rng):
     assert (z == want).all()
 
 
+@pytest.mark.slow
 def test_sp_dispatcher_picks_by_batch(rng):
     """polymul_sp_fn: Ulysses for batch >= data*model, four-step below;
     both bit-exact."""
