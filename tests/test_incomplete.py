@@ -1,0 +1,65 @@
+"""Kyber-shaped incomplete negacyclic NTT (ops/incomplete.py): moduli with
+q ≡ 1 (mod n) but NOT (mod 2n), which the main registry and the
+reference's root ladder (main.cu:18-65) must reject — the ring splits
+into n/2 quadratics and the pointwise stage becomes degree-1 products."""
+
+import numpy as np
+import pytest
+
+from qtesla_tpu.ops.incomplete import (basemul_incomplete,
+                                       incomplete_params, intt_incomplete,
+                                       ntt_incomplete,
+                                       polymul_incomplete_fn)
+
+
+class _PS:
+    def __init__(self, n, q):
+        self.n, self.q = n, q
+
+
+SHAPES = [(256, 3329),                    # ML-KEM
+          pytest.param(512, 7681, marks=pytest.mark.slow)]   # NewHope
+
+
+@pytest.mark.parametrize("n,q", SHAPES)
+def test_incomplete_polymul_vs_schoolbook(rng, n, q):
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+    x = rng.integers(0, q, (3, n), dtype=np.uint32)
+    y = rng.integers(0, q, (3, n), dtype=np.uint32)
+    x[0, :] = q - 1                       # worst-case magnitudes
+    y[0, :] = q - 1
+    z = np.asarray(polymul_incomplete_fn(n, q)(x, y))
+    want = np.stack([negacyclic_schoolbook(x[b], y[b], _PS(n, q))
+                     for b in range(3)]).astype(np.uint32)
+    np.testing.assert_array_equal(z, want)
+
+
+def test_incomplete_roundtrip_and_gammas(rng):
+    import jax.numpy as jnp
+    n, q = 256, 3329
+    p = incomplete_params(n, q)
+    x = rng.integers(0, q, (4, n), dtype=np.uint32)
+    back = np.asarray(intt_incomplete(ntt_incomplete(jnp.asarray(x), p), p))
+    np.testing.assert_array_equal(back, x)
+    # the pair residues are exactly the roots of Y^(n/2) + 1, all distinct
+    gam = [int(g) for g in np.asarray(p.gammas)]
+    assert len(set(gam)) == n // 2
+    assert all(pow(g, n // 2, q) == q - 1 for g in gam)
+    # basemul by the spectrum of 1 is the identity
+    one = np.zeros((1, n), dtype=np.uint32)
+    one[0, 0] = 1
+    One = ntt_incomplete(jnp.asarray(one), p)
+    X = ntt_incomplete(jnp.asarray(x), p)
+    np.testing.assert_array_equal(
+        np.asarray(basemul_incomplete(X, jnp.broadcast_to(One, X.shape), p)),
+        np.asarray(X))
+
+
+def test_incomplete_rejects_wrong_modulus():
+    with pytest.raises(ValueError, match="mod n"):
+        incomplete_params(256, 3331)          # 3331 is not 1 mod 256
+    # the MAIN registry rightly rejects the Kyber modulus (no 2n-th root):
+    # the incomplete path is the only road for it
+    from qtesla_tpu.params import ParamSet
+    with pytest.raises(ValueError, match="2n"):
+        ParamSet(name="kyber-nope", n=256, q=3329)
