@@ -68,3 +68,63 @@ def test_incomplete_rejects_wrong_modulus():
     from qtesla_tpu.params import ParamSet
     with pytest.raises(ValueError, match="2n"):
         ParamSet(name="kyber-nope", n=256, q=3329)
+
+
+def _is_prime(m: int) -> bool:
+    if m < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if m % p == 0:
+            return m == p
+    d, r = m - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, m)
+        if x in (1, m - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % m
+            if x == m - 1:
+                break
+        else:
+            return False
+    return True
+
+
+@pytest.mark.slow
+def test_incomplete_registration_space_fuzz(rng):
+    """Registration-space sweep for the incomplete path (the analog of the
+    main registry's prime fuzz): for several n, find primes with
+    q ≡ 1 (mod n) but q ≢ 1 (mod 2n) — the exact class the complete
+    registry rejects — and check bit-exactness vs the schoolbook oracle."""
+    from qtesla_tpu.utils import native
+    from qtesla_tpu.oracle import negacyclic_schoolbook
+
+    checked = 0
+    for n in (64, 128, 256):
+        qs, k = [], 1
+        while len(qs) < 3:
+            q = k * n + 1
+            # odd multiplier k => q = 1 mod n but q != 1 mod 2n
+            if k % 2 == 1 and q > 3 * n and _is_prime(q):
+                qs.append(q)
+            k += 2
+        for q in qs:
+            assert (q - 1) % n == 0 and (q - 1) % (2 * n) != 0
+            x = rng.integers(0, q, (2, n), dtype=np.uint32)
+            y = rng.integers(0, q, (2, n), dtype=np.uint32)
+            x[0, :] = q - 1
+            y[0, :] = q - 1
+            z = np.asarray(polymul_incomplete_fn(n, q)(x, y))
+            if native.native_available():
+                want = native.negacyclic_schoolbook(x, y, q)
+            else:
+                want = np.stack(
+                    [negacyclic_schoolbook(x[b], y[b], _PS(n, q))
+                     for b in range(2)]).astype(np.uint32)
+            np.testing.assert_array_equal(z, want, err_msg=f"(n={n}, q={q})")
+            checked += 1
+    assert checked == 9
+
